@@ -1,0 +1,104 @@
+"""Synthetic HMM data generation (reference ``gen_synthetic.py``, SURVEY.md §3E).
+
+Samples true parameters (or takes them), rolls the chain forward with
+`lax.scan`, and returns (obs, true states, true params) for engine tests and
+the paper-style experiments. Fully device-side and jit/vmap-friendly.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..distributions.emissions import GaussianNIW, MultinomialDirichlet
+
+
+class TrueParams(NamedTuple):
+    pi: jax.Array  # (K,)
+    A: jax.Array  # (K, K)
+    theta: object  # emission params: (mu, Sigma) or phi (K, V)
+
+
+def make_gaussian_params(
+    key: jax.Array,
+    K: int,
+    D: int,
+    *,
+    mean_scale: float = 5.0,
+    cov_scale: float = 0.5,
+    self_prob: float = 0.8,
+) -> TrueParams:
+    """Well-separated Gaussian states with sticky transitions (the reference's
+    canonical small-K test regime, SURVEY.md §4)."""
+    k1, k2 = jax.random.split(key)
+    pi = jnp.full((K,), 1.0 / K)
+    A = jnp.full((K, K), (1.0 - self_prob) / (K - 1)) + (
+        self_prob - (1.0 - self_prob) / (K - 1)
+    ) * jnp.eye(K)
+    mu = mean_scale * jax.random.normal(k1, (K, D))
+    sigma = cov_scale * jnp.broadcast_to(jnp.eye(D), (K, D, D))
+    return TrueParams(pi=pi, A=A, theta=(mu, sigma))
+
+
+def make_multinomial_params(
+    key: jax.Array, K: int, V: int, *, concentration: float = 0.3, self_prob: float = 0.85
+) -> TrueParams:
+    """Sparse symbol distributions per state (text-like, BASELINE config 3)."""
+    pi = jnp.full((K,), 1.0 / K)
+    A = jnp.full((K, K), (1.0 - self_prob) / (K - 1)) + (
+        self_prob - (1.0 - self_prob) / (K - 1)
+    ) * jnp.eye(K)
+    phi = jax.random.dirichlet(key, jnp.full((K, V), concentration))
+    return TrueParams(pi=pi, A=A, theta=phi)
+
+
+def sample_states(key: jax.Array, params: TrueParams, T: int) -> jax.Array:
+    """One state path (T,) int32 via a categorical scan."""
+    k0, ks = jax.random.split(key)
+    log_A = jnp.log(params.A)
+    z0 = jax.random.categorical(k0, jnp.log(params.pi)).astype(jnp.int32)
+    keys = jax.random.split(ks, T - 1)
+
+    def step(z, k):
+        z_next = jax.random.categorical(k, log_A[z]).astype(jnp.int32)
+        return z_next, z_next
+
+    _, zs = jax.lax.scan(step, z0, keys)
+    return jnp.concatenate([z0[None], zs])
+
+
+def gen_data(
+    key: jax.Array,
+    params: TrueParams,
+    emission,
+    *,
+    num_seqs: int,
+    T: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Sample (obs, states). obs: (num_seqs, T, D) float or (num_seqs, T) int."""
+    kz, ky = jax.random.split(key)
+    zkeys = jax.random.split(kz, num_seqs)
+    z = jax.vmap(lambda k: sample_states(k, params, T))(zkeys)  # (B, T)
+    ykeys = jax.random.split(ky, num_seqs)
+    y = jax.vmap(lambda k, zz: emission.sample_obs(k, params.theta, zz))(ykeys, z)
+    return y, z
+
+
+def gen_gaussian_dataset(
+    key: jax.Array, K: int, D: int, num_seqs: int, T: int, **kw
+) -> tuple[jax.Array, jax.Array, TrueParams]:
+    kp, kd = jax.random.split(key)
+    params = make_gaussian_params(kp, K, D, **kw)
+    y, z = gen_data(kd, params, GaussianNIW, num_seqs=num_seqs, T=T)
+    return y, z, params
+
+
+def gen_multinomial_dataset(
+    key: jax.Array, K: int, V: int, num_seqs: int, T: int, **kw
+) -> tuple[jax.Array, jax.Array, TrueParams]:
+    kp, kd = jax.random.split(key)
+    params = make_multinomial_params(kp, K, V, **kw)
+    y, z = gen_data(kd, params, MultinomialDirichlet, num_seqs=num_seqs, T=T)
+    return y, z, params

@@ -1,0 +1,151 @@
+"""Emission-family modules with a uniform static interface.
+
+The reference delegates emissions to ``pybasicbayes`` distribution objects
+held in ``var_emit`` lists (``pysvihmm/hmmbase.py``, reconstructed —
+SURVEY.md §2.2). Here each family is a stateless namespace of pure functions
+over pytree parameters so engines can be written once, generically, and the
+family chosen statically at jit time.
+
+Families:
+  * :class:`GaussianNIW` — Gaussian emissions under a Normal-Inverse-Wishart
+    prior (reference: ``pybasicbayes`` ``Gaussian``).
+  * :class:`MultinomialDirichlet` — categorical emissions over V symbols
+    under a Dirichlet prior (reference: ``pybasicbayes`` ``Multinomial``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from . import dirichlet, niw
+from .niw import NIW, GaussianStats
+
+
+class GaussianNIW:
+    """Gaussian emission family with conjugate NIW prior. Params: :class:`NIW` (K,...)."""
+
+    name = "gaussian_niw"
+
+    @staticmethod
+    def make_prior(K: int, obs_dim: int, dtype=jnp.float32, **kw) -> NIW:
+        return niw.make_prior(K, obs_dim, dtype=dtype, **kw)
+
+    @staticmethod
+    def expected_log_likelihood(params: NIW, y: jax.Array) -> jax.Array:
+        """y (..., D) -> (..., K)."""
+        return niw.expected_log_likelihood(params, y)
+
+    @staticmethod
+    def suff_stats(gamma: jax.Array, y: jax.Array) -> GaussianStats:
+        return niw.suff_stats(gamma, y)
+
+    @staticmethod
+    def zero_stats(params: NIW) -> GaussianStats:
+        K, D = params.mean.shape[-2], params.mean.shape[-1]
+        z = jnp.zeros
+        dt = params.mean.dtype
+        return GaussianStats(n=z((K,), dt), sum_y=z((K, D), dt), sum_yyT=z((K, D, D), dt))
+
+    @staticmethod
+    def posterior(prior: NIW, stats: GaussianStats) -> NIW:
+        return niw.posterior(prior, stats)
+
+    @staticmethod
+    def nat_grad_step(q: NIW, prior: NIW, stats: GaussianStats, scale, rho) -> NIW:
+        return niw.nat_grad_step(q, prior, stats, scale, rho)
+
+    @staticmethod
+    def kl(q: NIW, p: NIW) -> jax.Array:
+        return jnp.sum(niw.kl(q, p))
+
+    @staticmethod
+    def mean_params(q: NIW):
+        return niw.mean_params(q)
+
+    @staticmethod
+    def point_log_likelihood(theta, y: jax.Array) -> jax.Array:
+        """theta = (mu (K,D), sigma (K,D,D)); y (..., D) -> (..., K)."""
+        mu, sigma = theta
+        return niw.gaussian_log_likelihood(mu, sigma, y)
+
+    @staticmethod
+    def sample_params(key: jax.Array, q: NIW):
+        return niw.sample_params(key, q)
+
+    @staticmethod
+    def sample_obs(key: jax.Array, theta, z: jax.Array) -> jax.Array:
+        """Sample y_t | z_t for an int state path z (...,)."""
+        mu, sigma = theta
+        chol = jnp.linalg.cholesky(sigma)
+        eps = jax.random.normal(key, z.shape + (mu.shape[-1],), dtype=mu.dtype)
+        return mu[z] + jnp.einsum("...de,...e->...d", chol[z], eps)
+
+
+class MultinomialDirichlet:
+    """Categorical emissions over V symbols, Dirichlet prior. Params: (K, V) array."""
+
+    name = "multinomial_dirichlet"
+
+    @staticmethod
+    def make_prior(K: int, num_symbols: int, alpha: float = 0.5, dtype=jnp.float32):
+        return jnp.full((K, num_symbols), alpha, dtype)
+
+    @staticmethod
+    def expected_log_likelihood(params: jax.Array, y: jax.Array) -> jax.Array:
+        """y int (...,) -> (..., K) by gathering E[log phi_{k, y_t}]."""
+        elp = dirichlet.expected_log_probs(params)  # (K, V)
+        return jnp.moveaxis(elp[:, y], 0, -1)
+
+    @staticmethod
+    def make_suff_stats(num_symbols: int):
+        def stats(gamma: jax.Array, y: jax.Array) -> jax.Array:
+            onehot = jax.nn.one_hot(y, num_symbols, dtype=gamma.dtype)
+            return jnp.einsum("...tk,...tv->...kv", gamma, onehot)
+
+        return stats
+
+    @staticmethod
+    def zero_stats(params: jax.Array) -> jax.Array:
+        return jnp.zeros_like(params)
+
+    @staticmethod
+    def posterior(prior: jax.Array, stats: jax.Array) -> jax.Array:
+        return dirichlet.posterior(prior, stats)
+
+    @staticmethod
+    def nat_grad_step(q, prior, stats, scale, rho):
+        return dirichlet.nat_grad_step(q, prior, stats, scale, rho)
+
+    @staticmethod
+    def kl(q: jax.Array, p: jax.Array) -> jax.Array:
+        return jnp.sum(dirichlet.kl(q, p))
+
+    @staticmethod
+    def mean_params(q: jax.Array) -> jax.Array:
+        return dirichlet.mean(q)
+
+    @staticmethod
+    def point_log_likelihood(theta: jax.Array, y: jax.Array) -> jax.Array:
+        """theta = phi (K, V) simplex rows; y int (...,) -> (..., K)."""
+        logp = jnp.log(theta)
+        return jnp.moveaxis(logp[:, y], 0, -1)
+
+    @staticmethod
+    def sample_params(key: jax.Array, q: jax.Array) -> jax.Array:
+        return jax.random.dirichlet(key, q)
+
+    @staticmethod
+    def sample_obs(key: jax.Array, theta: jax.Array, z: jax.Array) -> jax.Array:
+        logits = jnp.log(theta)[z]  # (..., V)
+        return jax.random.categorical(key, logits, axis=-1)
+
+
+def emission_suff_stats(emission, params, gamma: jax.Array, y: jax.Array):
+    """Family-dispatching sufficient stats (handles multinomial's static V)."""
+    if emission is MultinomialDirichlet or getattr(emission, "name", "") == "multinomial_dirichlet":
+        V = params.shape[-1]
+        return MultinomialDirichlet.make_suff_stats(V)(gamma, y)
+    return emission.suff_stats(gamma, y)

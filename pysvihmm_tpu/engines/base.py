@@ -1,0 +1,114 @@
+"""Shared engine machinery: batched local E-steps, ELBO, decoding.
+
+Replaces the helpers on ``VariationalHMMBase`` (``pysvihmm/hmmbase.py``,
+reconstructed — SURVEY.md §2.2/§3): ``local_update``, ``lower_bound``,
+state decoding. Everything is a pure function of (params, prior, obs);
+engines differ only in *which data* they feed the local step and *how* they
+turn stats into the next global state.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .. import messages
+from ..models.hmm import (
+    HMMParams,
+    emission_flat_stats,
+    expected_log_params,
+    global_kl,
+)
+
+
+class LocalStats(NamedTuple):
+    """Summed expected sufficient statistics from a batch local step."""
+
+    init: jax.Array  # (K,)
+    trans: jax.Array  # (K, K)
+    emit: object  # emission-family stats pytree, leading K
+    log_z: jax.Array  # () summed variational log-normalizer
+
+
+def batch_local_step(
+    params: HMMParams,
+    emission,
+    obs: jax.Array,
+    method: str = "scan",
+    weights: jax.Array | None = None,
+) -> tuple[LocalStats, jax.Array]:
+    """Full local update over a batch of sequences.
+
+    obs: (B, T, D) float or (B, T) int. weights: optional (B, T) kept-mask.
+    Returns (summed stats, gamma (B, T, K)). The e-step is vmapped over B so
+    each scan step is a (B, K) @ (K, K) matmul on the MXU.
+    """
+    log_pi, log_A = expected_log_params(params)
+    ll = emission.expected_log_likelihood(params.emit, obs)  # (B, T, K)
+
+    if weights is None:
+        fb = jax.vmap(lambda l: messages.e_step(log_pi, log_A, l, method=method))(ll)
+        gamma_w = fb.gamma
+    else:
+        fb = jax.vmap(
+            lambda l, w: messages.e_step(log_pi, log_A, l, weights=w, method=method)
+        )(ll, weights)
+        gamma_w = fb.gamma * weights[..., None]
+
+    emit_stats = emission_flat_stats(emission, params.emit, gamma_w, obs)
+    stats = LocalStats(
+        init=jnp.sum(fb.init_stats, axis=0),
+        trans=jnp.sum(fb.trans_stats, axis=0),
+        emit=emit_stats,
+        log_z=jnp.sum(fb.log_z),
+    )
+    return stats, fb.gamma
+
+
+def elbo_from_stats(
+    params: HMMParams, prior: HMMParams, emission, log_z: jax.Array
+) -> jax.Array:
+    """ELBO = sum_seqs log Z~ - KL(q(theta) || p(theta)) (SURVEY.md §2.1)."""
+    return log_z - global_kl(params, prior, emission)
+
+
+def lower_bound(
+    params: HMMParams, prior: HMMParams, emission, obs: jax.Array, method: str = "scan"
+) -> jax.Array:
+    """Exact full-data ELBO at the current global state (fresh local step)."""
+    stats, _ = batch_local_step(params, emission, obs, method)
+    return elbo_from_stats(params, prior, emission, stats.log_z)
+
+
+def decode(params: HMMParams, emission, obs: jax.Array) -> jax.Array:
+    """Posterior-marginal state decode: argmax_k gamma_tk per sequence (B, T)."""
+    _, gamma = batch_local_step(params, emission, obs)
+    return jnp.argmax(gamma, axis=-1)
+
+
+def viterbi_decode(params: HMMParams, emission, obs: jax.Array) -> jax.Array:
+    """MAP path under the variational-mean parameters (B, T)."""
+    log_pi, log_A = expected_log_params(params)
+    ll = emission.expected_log_likelihood(params.emit, obs)
+    return jax.vmap(lambda l: messages.viterbi(log_pi, log_A, l))(ll)
+
+
+def predictive_log_likelihood(
+    params: HMMParams, emission, obs: jax.Array
+) -> jax.Array:
+    """Held-out predictive log-likelihood via posterior-mean plug-in.
+
+    Runs the forward filter with point parameters (pi_bar, A_bar, phi_bar)
+    [reference: ``pred_logprob`` helpers, MED — SURVEY.md §2.2] and returns
+    summed log p(y_held | theta_bar).
+    """
+    from ..distributions import dirichlet
+
+    log_pi = jnp.log(dirichlet.mean(params.init))
+    log_A = jnp.log(dirichlet.mean(params.trans))
+    theta = emission.mean_params(params.emit)
+    ll = emission.point_log_likelihood(theta, obs)
+    _, log_z = jax.vmap(lambda l: messages.forward(log_pi, log_A, l))(ll)
+    return jnp.sum(log_z)

@@ -1,0 +1,72 @@
+"""Batch mean-field VB by coordinate ascent (reference ``hmmbatchcd.py``).
+
+Reconstructed behavior (SURVEY.md §3 call stack A): per iteration, a full
+local update on all sequences followed by the exact conjugate global update;
+the reported ELBO sequence is strictly non-decreasing (a real invariant of
+coordinate-ascent VB, property-tested in tests/test_batch_vb.py).
+
+TPU design: one jitted step = vmapped E-step over the sequence batch (MXU
+scans) + fused conjugate updates. `fit` drives it with `lax.scan` so the
+whole inference loop compiles to a single XLA program; the batch axis may be
+sharded over a device mesh (see pysvihmm_tpu.parallel) in which case the
+stat sums below become psums automatically under jit.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..distributions import dirichlet
+from ..models.hmm import HMMParams
+from .base import batch_local_step, elbo_from_stats
+
+
+class BatchVBState(NamedTuple):
+    params: HMMParams
+    elbo: jax.Array  # ELBO at the params that *produced* the last local step
+
+
+def make_step(emission, method: str = "scan"):
+    """Build the jitted coordinate-ascent step: (params, prior, obs) -> (params', elbo)."""
+
+    @partial(jax.jit, static_argnames=())
+    def step(params: HMMParams, prior: HMMParams, obs: jax.Array):
+        stats, _ = batch_local_step(params, emission, obs, method)
+        elbo = elbo_from_stats(params, prior, emission, stats.log_z)
+        new_params = HMMParams(
+            init=dirichlet.posterior(prior.init, stats.init),
+            trans=dirichlet.posterior(prior.trans, stats.trans),
+            emit=emission.posterior(prior.emit, stats.emit),
+        )
+        return new_params, elbo
+
+    return step
+
+
+def fit(
+    params: HMMParams,
+    prior: HMMParams,
+    obs: jax.Array,
+    emission,
+    num_iters: int = 100,
+    method: str = "scan",
+) -> tuple[HMMParams, jax.Array]:
+    """Run `num_iters` coordinate-ascent iterations as one compiled scan.
+
+    Returns (final params, elbo history (num_iters,)). Convergence-tolerance
+    stopping is done host-side by the caller if needed (the reference stops
+    on relative ELBO change; we return the full history instead so the loop
+    stays device-resident).
+    """
+    step = make_step(emission, method)
+
+    def body(p, _):
+        new_p, elbo = step(p, prior, obs)
+        return new_p, elbo
+
+    final, elbos = jax.lax.scan(body, params, None, length=num_iters)
+    return final, elbos

@@ -1,0 +1,87 @@
+"""Message-passing kernels: the E-step layer (reference L1, SURVEY.md §1).
+
+Three interchangeable implementations of the same FBResult contract:
+  * ``scan``   — `lax.scan`, O(T K^2), sequential in T, vmap over sequences
+                 turns each step into a (B, K) @ (K, K) MXU matmul. The
+                 production path for batched sequences.
+  * ``assoc``  — `lax.associative_scan` prefix/suffix matrix products,
+                 O(T K^3) flops, O(log T) depth. The production path for a
+                 single long chain on one chip.
+  * ``grad``   — sufficient stats as gradients of the log-normalizer
+                 (d logZ / d log_A = sum_t xi_t, d/d log_lik = gamma,
+                 d/d log_pi = gamma_0). One code path, consistency oracle.
+
+Exact cross-agreement among all three is tested in tests/test_messages.py.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .scan_fb import (
+    FBResult,
+    backward,
+    ffbs_sample,
+    forward,
+    forward_backward,
+    forward_filter_log,
+    log_normalizer,
+    viterbi,
+)
+from .assoc_fb import forward_backward_assoc, log_normalizer_assoc
+
+
+def e_step_grad(
+    log_pi: jax.Array,
+    log_A: jax.Array,
+    log_lik: jax.Array,
+    method: str = "scan",
+) -> FBResult:
+    """E-step via autodiff of the log-normalizer (generating-function identity)."""
+    fn = log_normalizer if method == "scan" else log_normalizer_assoc
+    log_z, (init_stats, trans_stats, gamma) = jax.value_and_grad(
+        fn, argnums=(0, 1, 2)
+    )(log_pi, log_A, log_lik)
+    return FBResult(
+        gamma=gamma,
+        log_z=log_z,
+        trans_stats=trans_stats,
+        init_stats=init_stats,
+        log_c=None,
+    )
+
+
+def e_step(
+    log_pi: jax.Array,
+    log_A: jax.Array,
+    log_lik: jax.Array,
+    weights: jax.Array | None = None,
+    method: str = "scan",
+) -> FBResult:
+    """Unified E-step over one sequence (vmap over leading batch as needed)."""
+    if method == "scan":
+        return forward_backward(log_pi, log_A, log_lik, weights)
+    if method == "assoc":
+        return forward_backward_assoc(log_pi, log_A, log_lik, weights)
+    if method == "grad":
+        if weights is not None:
+            raise ValueError("grad e-step does not support buffer weights")
+        return e_step_grad(log_pi, log_A, log_lik)
+    raise ValueError(f"unknown e_step method: {method}")
+
+
+__all__ = [
+    "FBResult",
+    "forward",
+    "backward",
+    "forward_backward",
+    "forward_backward_assoc",
+    "forward_filter_log",
+    "log_normalizer",
+    "log_normalizer_assoc",
+    "viterbi",
+    "ffbs_sample",
+    "e_step",
+    "e_step_grad",
+]

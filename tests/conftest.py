@@ -1,0 +1,39 @@
+"""Test harness config: force tests onto an 8-device virtual CPU platform.
+
+The surrounding environment pins JAX to a single remote TPU chip (axon);
+compiles through that tunnel are slow and single-device. Tests instead run
+on the host CPU with 8 virtual devices so sharding/collective paths are
+exercised exactly as on a pod slice (SNIPPETS.md [3] pattern). The axon
+plugin may already be registered by sitecustomize, so in addition to env
+vars we steer jax's default device to CPU explicitly.
+"""
+
+import os
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+try:
+    _cpus = jax.devices("cpu")
+except RuntimeError:  # pragma: no cover
+    _cpus = jax.devices()
+jax.config.update("jax_default_device", _cpus[0])
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def cpu_devices():
+    return _cpus
+
+
+@pytest.fixture
+def enable_x64():
+    """Run a test in float64 (oracle-parity tests)."""
+    jax.config.update("jax_enable_x64", True)
+    yield
+    jax.config.update("jax_enable_x64", False)

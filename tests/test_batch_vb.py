@@ -1,0 +1,116 @@
+"""Batch coordinate-ascent VB engine tests (reference ``test_hmmbatchcd.py``
+pattern, SURVEY.md §4): oracle parity, ELBO monotonicity, recovery.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pysvihmm_tpu.data.synthetic import gen_gaussian_dataset, gen_multinomial_dataset
+from pysvihmm_tpu.distributions.emissions import GaussianNIW, MultinomialDirichlet
+from pysvihmm_tpu.engines import batch_vb
+from pysvihmm_tpu.engines.base import decode, lower_bound, predictive_log_likelihood
+from pysvihmm_tpu.eval.metrics import hamming_error
+from pysvihmm_tpu.models.hmm import init_params, make_prior
+from pysvihmm_tpu.oracle.numpy_ref import BatchVBOracle
+
+
+class TestGaussianBatchVB:
+    def test_oracle_parity_and_monotone(self, enable_x64):
+        """ELBO trajectory must match the float64 NumPy oracle to ~1e-9."""
+        K, D, B, T = 4, 2, 10, 100
+        obs, z_true, _ = gen_gaussian_dataset(jax.random.PRNGKey(0), K, D, B, T)
+        obs = obs.astype(jnp.float64)
+        prior = make_prior(K, GaussianNIW, obs_dim=D, dtype=jnp.float64)
+        params0 = init_params(jax.random.PRNGKey(1), prior, GaussianNIW, obs)
+
+        orc = BatchVBOracle(
+            np.array(obs), K,
+            np.array(prior.init), np.array(prior.trans),
+            np.array(prior.emit.mean), np.array(prior.emit.kappa),
+            np.array(prior.emit.nu), np.array(prior.emit.psi),
+        )
+        orc.var_init = np.array(params0.init)
+        orc.var_tran = np.array(params0.trans)
+        orc.var_niw = tuple(np.array(x) for x in params0.emit)
+        orc.infer(maxit=15, tol=0)
+
+        _, elbos = batch_vb.fit(params0, prior, obs, GaussianNIW, num_iters=15)
+        elbos = np.array(elbos)
+        np.testing.assert_allclose(elbos, np.array(orc.elbo_history), rtol=1e-9)
+        assert np.all(np.diff(elbos) > -1e-8), "coordinate-ascent ELBO must be monotone"
+
+    def test_recovery_hamming(self):
+        """On well-separated synthetic data the decode recovers the truth."""
+        K, D, B, T = 4, 2, 20, 200
+        obs, z_true, _ = gen_gaussian_dataset(
+            jax.random.PRNGKey(2), K, D, B, T, mean_scale=6.0, cov_scale=0.3
+        )
+        prior = make_prior(K, GaussianNIW, obs_dim=D)
+        best = 1.0
+        for seed in range(3):
+            params0 = init_params(jax.random.PRNGKey(seed), prior, GaussianNIW, obs)
+            params, elbos = batch_vb.fit(params0, prior, obs, GaussianNIW, num_iters=60)
+            zs = decode(params, GaussianNIW, obs)
+            best = min(best, hamming_error(np.array(zs), np.array(z_true), K))
+            if best < 0.05:
+                break
+        assert best < 0.05, f"hamming {best}"
+
+    def test_elbo_monotone_f32(self):
+        """Monotonicity also holds in float32 (TPU compute dtype) within noise."""
+        K, D, B, T = 4, 2, 10, 100
+        obs, _, _ = gen_gaussian_dataset(jax.random.PRNGKey(0), K, D, B, T)
+        prior = make_prior(K, GaussianNIW, obs_dim=D)
+        params0 = init_params(jax.random.PRNGKey(1), prior, GaussianNIW, obs)
+        _, elbos = batch_vb.fit(params0, prior, obs, GaussianNIW, num_iters=30)
+        elbos = np.array(elbos)
+        drops = np.diff(elbos) / np.abs(elbos[:-1])
+        assert np.all(drops > -1e-5), f"worst relative drop {drops.min()}"
+
+    def test_assoc_method_same_fixed_point(self, enable_x64):
+        K, D, B, T = 3, 2, 4, 60
+        obs, _, _ = gen_gaussian_dataset(jax.random.PRNGKey(3), K, D, B, T)
+        obs = obs.astype(jnp.float64)
+        prior = make_prior(K, GaussianNIW, obs_dim=D, dtype=jnp.float64)
+        params0 = init_params(jax.random.PRNGKey(4), prior, GaussianNIW, obs)
+        _, e1 = batch_vb.fit(params0, prior, obs, GaussianNIW, num_iters=10, method="scan")
+        _, e2 = batch_vb.fit(params0, prior, obs, GaussianNIW, num_iters=10, method="assoc")
+        np.testing.assert_allclose(np.array(e1), np.array(e2), rtol=1e-8)
+
+
+class TestMultinomialBatchVB:
+    def test_monotone_and_recovery(self):
+        K, V, B, T = 3, 12, 20, 200
+        obs, z_true, _ = gen_multinomial_dataset(
+            jax.random.PRNGKey(5), K, V, B, T, concentration=0.2
+        )
+        prior = make_prior(K, MultinomialDirichlet, num_symbols=V)
+        best = 1.0
+        for seed in range(3):
+            params0 = init_params(
+                jax.random.PRNGKey(10 + seed), prior, MultinomialDirichlet
+            )
+            params, elbos = batch_vb.fit(
+                params0, prior, obs, MultinomialDirichlet, num_iters=60
+            )
+            elbos = np.array(elbos)
+            drops = np.diff(elbos) / np.abs(elbos[:-1])
+            assert np.all(drops > -1e-5)
+            zs = decode(params, MultinomialDirichlet, obs)
+            best = min(best, hamming_error(np.array(zs), np.array(z_true), K))
+            if best < 0.15:
+                break
+        assert best < 0.15, f"hamming {best}"
+
+    def test_predictive_loglik_beats_uniform(self):
+        K, V, B, T = 3, 12, 16, 150
+        obs, _, _ = gen_multinomial_dataset(jax.random.PRNGKey(6), K, V, B, T)
+        train, held = obs[:12], obs[12:]
+        prior = make_prior(K, MultinomialDirichlet, num_symbols=V)
+        params0 = init_params(jax.random.PRNGKey(7), prior, MultinomialDirichlet)
+        params, _ = batch_vb.fit(params0, prior, train, MultinomialDirichlet, num_iters=40)
+        pll = float(predictive_log_likelihood(params, MultinomialDirichlet, held))
+        uniform = held.size * np.log(1.0 / V)
+        assert pll > uniform
