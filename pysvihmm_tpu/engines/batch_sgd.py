@@ -1,0 +1,65 @@
+"""Batch VB by natural-gradient SGD (reference ``hmmbatchsgd.py``).
+
+Reconstructed behavior (SURVEY.md §3B): identical full-data local step to
+coordinate ascent, but the global update is the damped natural-gradient
+blend lambda <- (1-rho_t) lambda + rho_t (prior + full-data stats) with
+rho_t = (t + tau)^(-kappa) — the bridge between batch VB and SVI. With
+rho = 1 it reproduces ``hmmbatchcd`` exactly (property-tested).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..distributions import dirichlet
+from ..models.hmm import HMMParams
+from ..utils.schedules import power_schedule
+from .base import batch_local_step, elbo_from_stats
+
+
+class BatchSGDState(NamedTuple):
+    params: HMMParams
+    step: jax.Array
+
+
+def make_step(emission, tau: float = 1.0, kappa: float = 0.6, method: str = "scan"):
+    @jax.jit
+    def step(state: BatchSGDState, prior: HMMParams, obs: jax.Array):
+        params = state.params
+        stats, _ = batch_local_step(params, emission, obs, method)
+        elbo = elbo_from_stats(params, prior, emission, stats.log_z)
+        rho = power_schedule(state.step.astype(params.init.dtype), tau, kappa)
+        new_params = HMMParams(
+            init=dirichlet.nat_grad_step(params.init, prior.init, stats.init, 1.0, rho),
+            trans=dirichlet.nat_grad_step(
+                params.trans, prior.trans, stats.trans, 1.0, rho
+            ),
+            emit=emission.nat_grad_step(params.emit, prior.emit, stats.emit, 1.0, rho),
+        )
+        return BatchSGDState(params=new_params, step=state.step + 1), elbo
+
+    return step
+
+
+def fit(
+    params: HMMParams,
+    prior: HMMParams,
+    obs: jax.Array,
+    emission,
+    num_iters: int = 100,
+    tau: float = 1.0,
+    kappa: float = 0.6,
+    method: str = "scan",
+) -> tuple[HMMParams, jax.Array]:
+    step = make_step(emission, tau, kappa, method)
+    state = BatchSGDState(params=params, step=jnp.asarray(0, jnp.int32))
+
+    def body(s, _):
+        s2, elbo = step(s, prior, obs)
+        return s2, elbo
+
+    final, elbos = jax.lax.scan(body, state, None, length=num_iters)
+    return final.params, elbos

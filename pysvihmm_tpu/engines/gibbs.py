@@ -1,0 +1,99 @@
+"""Blocked Gibbs sampling for the conjugate HMM (FFBS + conjugate draws).
+
+The reference's capability set includes "Gibbs-style comparisons"
+(BASELINE.json north_star; the NIPS-2014 experiments compare SVI against
+samplers). This engine provides that comparison axis natively: a blocked
+Gibbs sweep alternating
+
+  1. z | theta  — exact joint draw of the state path by forward-filter
+     backward-sampling (messages.ffbs_sample), vmapped over sequences;
+  2. theta | z  — conjugate posterior draws: pi, A-rows ~ Dirichlet(prior +
+     counts), emission params ~ NIW/Dirichlet posterior given hard counts.
+
+Everything is device-side (`lax.scan` over sweeps, PRNG in state).
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..distributions import dirichlet
+from ..models.hmm import HMMParams, emission_flat_stats
+from ..distributions.emissions import GaussianNIW, MultinomialDirichlet
+from .. import messages
+
+
+class GibbsState(NamedTuple):
+    z: jax.Array  # (B, T) int32 current state paths
+    theta: Any  # (pi (K,), A (K, K), emission point params)
+    key: jax.Array
+
+
+def _count_stats(z: jax.Array, K: int, dtype):
+    """Initial/transition counts from hard paths via one-hot matmuls (MXU)."""
+    oh = jax.nn.one_hot(z, K, dtype=dtype)  # (B, T, K)
+    init_counts = jnp.sum(oh[:, 0, :], axis=0)
+    trans_counts = jnp.einsum("bti,btj->ij", oh[:, :-1, :], oh[:, 1:, :])
+    return init_counts, trans_counts, oh
+
+
+def make_sweep(emission, K: int):
+    def sweep(state: GibbsState, prior: HMMParams, obs: jax.Array):
+        key, k_pi, k_A, k_emit, k_z = jax.random.split(state.key, 5)
+        dtype = prior.init.dtype
+
+        # --- theta | z ---------------------------------------------------
+        init_counts, trans_counts, oh = _count_stats(state.z, K, dtype)
+        pi = jax.random.dirichlet(k_pi, prior.init + init_counts)
+        A = jax.random.dirichlet(k_A, prior.trans + trans_counts)
+
+        emit_stats = emission_flat_stats(emission, prior.emit, oh, obs)
+        emit_post = emission.posterior(prior.emit, emit_stats)
+        theta_emit = emission.sample_params(k_emit, emit_post)
+
+        # --- z | theta ---------------------------------------------------
+        log_pi = jnp.log(pi)
+        log_A = jnp.log(A)
+        ll = emission.point_log_likelihood(theta_emit, obs)  # (B, T, K)
+        B = obs.shape[0]
+        zkeys = jax.random.split(k_z, B)
+        z = jax.vmap(lambda k, l: messages.ffbs_sample(k, log_pi, log_A, l))(zkeys, ll)
+
+        # Joint log density (up to constant): for convergence monitoring.
+        _, log_z_filt = jax.vmap(lambda l: messages.forward(log_pi, log_A, l))(ll)
+        metrics = {"marginal_loglik": jnp.sum(log_z_filt)}
+
+        return GibbsState(z=z, theta=(pi, A, theta_emit), key=key), metrics
+
+    return jax.jit(sweep)
+
+
+def init_state(key: jax.Array, prior: HMMParams, emission, obs: jax.Array, K: int) -> GibbsState:
+    k_z, k_t, key = jax.random.split(key, 3)
+    B, T = obs.shape[0], obs.shape[1]
+    z0 = jax.random.randint(k_z, (B, T), 0, K).astype(jnp.int32)
+    pi0 = jnp.full((K,), 1.0 / K, prior.init.dtype)
+    A0 = jnp.full((K, K), 1.0 / K, prior.init.dtype)
+    theta0 = emission.sample_params(k_t, prior.emit)
+    return GibbsState(z=z0, theta=(pi0, A0, theta0), key=key)
+
+
+def run(
+    state: GibbsState,
+    prior: HMMParams,
+    obs: jax.Array,
+    emission,
+    K: int,
+    num_sweeps: int,
+) -> tuple[GibbsState, dict]:
+    sweep = make_sweep(emission, K)
+
+    def body(s, _):
+        s2, m = sweep(s, prior, obs)
+        return s2, m
+
+    final, metrics = jax.lax.scan(body, state, None, length=num_sweeps)
+    return final, metrics

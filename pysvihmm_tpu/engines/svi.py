@@ -1,0 +1,206 @@
+"""Stochastic variational inference over minibatched, buffered subchains.
+
+Reference: ``pysvihmm/hmmsvi.py`` (reconstructed — SURVEY.md §2.2/§3C),
+implementing Foti, Xu, Laird, Fox (NIPS 2014) Algorithm 1: sample B
+length-L subchains from one long chain, extend each by a buffer of b steps
+per side, run forward-backward on the L+2b window, keep only the middle-L
+expected sufficient statistics, scale them to be unbiased for the full
+chain, and take a natural-gradient step with rho_t = (t + tau)^(-kappa).
+Also covers the reference's ``hmmbatchsgd.py`` (full-data natural-gradient
+VB) as the degenerate schedule on full batches — see engines/batch_sgd.py.
+
+TPU design notes:
+  * Subchain windows have *static* shape (B, L+2b): starts are sampled on
+    device, windows gathered with `dynamic_slice`, and chain-edge clipping
+    is expressed through a per-window 0/1 kept-mask — no dynamic shapes
+    under jit.
+  * The whole update (sample -> gather -> vmapped FB -> masked stats ->
+    natural-gradient blend) is ONE jitted function with the PRNG key and
+    step count carried in device-side state, so `fit` can run thousands of
+    steps inside a single `lax.scan` without host round-trips.
+  * Scaling factors (the estimator's unbiasedness constants): transitions
+    (T-1)/(B(L-1)), emissions T/(BL), initial state (T-L+1)/B gated on a
+    window actually starting at t=0 (each position's inclusion probability
+    under uniform starts; edge positions are covered slightly less often —
+    O(L/T) bias, matching the reference's sampler behavior [MED]).
+
+Multi-sequence datasets (minibatches over sequences — BASELINE config 5)
+are handled by :func:`make_minibatch_step`.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..distributions import dirichlet
+from ..models.hmm import HMMParams, emission_flat_stats, expected_log_params
+from ..utils.schedules import power_schedule
+from .. import messages
+
+
+class SVIConfig(NamedTuple):
+    """Hyperparameters of the subchain-SVI estimator (reference ctor kwargs)."""
+
+    batch_size: int = 32  # B subchains per step
+    subchain_len: int = 50  # L kept positions per subchain
+    buffer: int = 10  # b buffer steps on each side (paper §3.2)
+    tau: float = 1.0  # step-size delay
+    kappa: float = 0.6  # forgetting rate, in (0.5, 1]
+
+
+class SVIState(NamedTuple):
+    params: HMMParams
+    step: jax.Array  # () int32
+    key: jax.Array  # PRNG key, device-side
+
+
+def init_state(params: HMMParams, key: jax.Array) -> SVIState:
+    return SVIState(params=params, step=jnp.asarray(0, jnp.int32), key=key)
+
+
+def _gather_windows(obs: jax.Array, window_starts: jax.Array, W: int) -> jax.Array:
+    """Static-shape gather of B windows obs[s : s+W] via vmapped dynamic_slice."""
+
+    def one(s):
+        return jax.lax.dynamic_slice_in_dim(obs, s, W, axis=0)
+
+    return jax.vmap(one)(window_starts)
+
+
+def make_step(emission, cfg: SVIConfig, chain_len: int, method: str = "scan"):
+    """Build the jitted SVI step for a single chain of static length T.
+
+    Returns step(state, prior, obs) -> (state', metrics dict).
+    """
+    B, L, b = cfg.batch_size, cfg.subchain_len, cfg.buffer
+    T = chain_len
+    W = L + 2 * b
+    if W > T:
+        raise ValueError(f"window {W} longer than chain {T}")
+    num_starts = T - L + 1
+
+    scale_trans = (T - 1.0) / (B * max(L - 1, 1))
+    scale_emit = T / (B * L)
+    scale_init = num_starts / B
+
+    def step(state: SVIState, prior: HMMParams, obs: jax.Array):
+        key, k_starts = jax.random.split(state.key)
+        params = state.params
+
+        starts = jax.random.randint(k_starts, (B,), 0, num_starts)
+        ws = jnp.clip(starts - b, 0, T - W)  # clipped window starts
+        offs = starts - ws  # kept-region offset inside each window
+        windows = _gather_windows(obs, ws, W)  # (B, W, ...)
+
+        pos = jnp.arange(W)[None, :]
+        mask = (pos >= offs[:, None]) & (pos < offs[:, None] + L)  # (B, W)
+        maskf = mask.astype(params.init.dtype)
+
+        log_pi, log_A = expected_log_params(params)
+        ll = emission.expected_log_likelihood(params.emit, windows)  # (B, W, K)
+        fb = jax.vmap(
+            lambda l, w: messages.e_step(log_pi, log_A, l, weights=w, method=method)
+        )(ll, maskf)
+
+        # Emission stats over kept positions only.
+        gamma_w = fb.gamma * maskf[..., None]
+        emit_stats = emission_flat_stats(emission, params.emit, gamma_w, windows)
+        trans_stats = jnp.sum(fb.trans_stats, axis=0)
+
+        # Initial-state stats: gamma at the chain start, only for windows
+        # whose subchain begins at t=0; unbiased via inverse inclusion prob.
+        gamma_at_start = jax.vmap(lambda g, o: g[o])(fb.gamma, offs)  # (B, K)
+        is_chain_start = (starts == 0).astype(params.init.dtype)[:, None]
+        init_stats = jnp.sum(gamma_at_start * is_chain_start, axis=0)
+
+        rho = power_schedule(state.step.astype(params.init.dtype), cfg.tau, cfg.kappa)
+
+        new_params = HMMParams(
+            init=dirichlet.nat_grad_step(
+                params.init, prior.init, init_stats, scale_init, rho
+            ),
+            trans=dirichlet.nat_grad_step(
+                params.trans, prior.trans, trans_stats, scale_trans, rho
+            ),
+            emit=emission.nat_grad_step(
+                params.emit, prior.emit, emit_stats, scale_emit, rho
+            ),
+        )
+
+        # Noisy lower-bound estimate: scaled kept-region log-normalizer mass
+        # minus the global KL (the reference's "stochastic lower bound").
+        from ..models.hmm import global_kl
+
+        local_mass = jnp.sum(fb.log_c * maskf)
+        noisy_elbo = scale_emit * local_mass - global_kl(params, prior, emission)
+
+        metrics = {"rho": rho, "noisy_elbo": noisy_elbo}
+        return SVIState(params=new_params, step=state.step + 1, key=key), metrics
+
+    return jax.jit(step)
+
+
+def fit(
+    state: SVIState,
+    prior: HMMParams,
+    obs: jax.Array,
+    emission,
+    cfg: SVIConfig,
+    num_steps: int,
+    method: str = "scan",
+) -> tuple[SVIState, dict]:
+    """Run num_steps SVI updates as one compiled scan over device-side state."""
+    step = make_step(emission, cfg, obs.shape[0], method)
+
+    def body(s, _):
+        s2, m = step(s, prior, obs)
+        return s2, m
+
+    final, metrics = jax.lax.scan(body, state, None, length=num_steps)
+    return final, metrics
+
+
+def make_minibatch_step(emission, cfg: SVIConfig, num_seqs: int, method: str = "scan"):
+    """SVI over minibatches of whole sequences from a (N, T, ...) dataset.
+
+    The many-independent-sequences regime (BASELINE config 5): B sequences
+    sampled per step, stats scaled by N/B. Subsumes the reference's use of
+    SVI on sequence collections; with B=N it reduces to batch natural-
+    gradient VB (tested against engines/batch_sgd.py).
+    """
+    B = cfg.batch_size
+    N = num_seqs
+    scale = N / B
+
+    def step(state: SVIState, prior: HMMParams, obs: jax.Array):
+        key, k_idx = jax.random.split(state.key)
+        params = state.params
+        idx = jax.random.randint(k_idx, (B,), 0, N)
+        batch = obs[idx]
+
+        log_pi, log_A = expected_log_params(params)
+        ll = emission.expected_log_likelihood(params.emit, batch)
+        fb = jax.vmap(lambda l: messages.e_step(log_pi, log_A, l, method=method))(ll)
+
+        emit_stats = emission_flat_stats(emission, params.emit, fb.gamma, batch)
+        rho = power_schedule(state.step.astype(params.init.dtype), cfg.tau, cfg.kappa)
+
+        new_params = HMMParams(
+            init=dirichlet.nat_grad_step(
+                params.init, prior.init, jnp.sum(fb.init_stats, 0), scale, rho
+            ),
+            trans=dirichlet.nat_grad_step(
+                params.trans, prior.trans, jnp.sum(fb.trans_stats, 0), scale, rho
+            ),
+            emit=emission.nat_grad_step(params.emit, prior.emit, emit_stats, scale, rho),
+        )
+        from ..models.hmm import global_kl
+
+        noisy_elbo = scale * jnp.sum(fb.log_z) - global_kl(params, prior, emission)
+        metrics = {"rho": rho, "noisy_elbo": noisy_elbo}
+        return SVIState(params=new_params, step=state.step + 1, key=key), metrics
+
+    return jax.jit(step)
