@@ -1,0 +1,12 @@
+"""Device-mesh parallelism (SURVEY.md §2.4): shard_map data parallelism +
+multi-host runtime. Replaces the reference's multiprocessing.Pool."""
+from .data_parallel import (
+    make_dp_metaobs_step,
+    make_dp_minibatch_svi_step,
+    make_dp_vb_step,
+    make_mesh,
+    replicate,
+    shard_batch,
+    sharded_local_step,
+)
+from .multihost import global_data_mesh, host_local_batch_to_global, initialize_distributed

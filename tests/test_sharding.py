@@ -1,0 +1,112 @@
+"""Multi-device tests on the 8-device virtual CPU mesh (SNIPPETS.md [3]
+pattern): sharded paths must agree with single-device paths bit-for-bit
+(up to float reduction order).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pysvihmm_tpu.data.synthetic import gen_gaussian_dataset
+from pysvihmm_tpu.distributions import GaussianNIW
+from pysvihmm_tpu.engines import batch_vb, metaobs, svi
+from pysvihmm_tpu.engines.base import batch_local_step, decode
+from pysvihmm_tpu.eval.metrics import hamming_error
+from pysvihmm_tpu.models.hmm import init_params, make_prior
+from pysvihmm_tpu.parallel import (
+    make_dp_metaobs_step,
+    make_dp_minibatch_svi_step,
+    make_dp_vb_step,
+    make_mesh,
+    shard_batch,
+    sharded_local_step,
+)
+
+
+@pytest.fixture(scope="module")
+def mesh(request):
+    cpus = jax.devices("cpu")
+    assert len(cpus) >= 8, "conftest must provide 8 virtual CPU devices"
+    return make_mesh(8, devices=cpus)
+
+
+@pytest.fixture(scope="module")
+def gaussian_problem():
+    K, D, B, T = 4, 2, 16, 100
+    obs, z_true, _ = gen_gaussian_dataset(
+        jax.random.PRNGKey(0), K, D, B, T, mean_scale=6.0, cov_scale=0.3
+    )
+    prior = make_prior(K, GaussianNIW, obs_dim=D)
+    params = init_params(jax.random.PRNGKey(1), prior, GaussianNIW, obs)
+    return obs, z_true, prior, params
+
+
+class TestShardedLocalStep:
+    def test_matches_single_device(self, mesh, gaussian_problem):
+        obs, _, prior, params = gaussian_problem
+        single, _ = batch_local_step(params, GaussianNIW, obs)
+        obs_sharded = shard_batch(obs, mesh)
+        sharded = jax.jit(
+            lambda p, o: sharded_local_step(p, GaussianNIW, o, mesh)
+        )(params, obs_sharded)
+        for a, b in zip(jax.tree.leaves(single), jax.tree.leaves(sharded)):
+            np.testing.assert_allclose(np.array(a), np.array(b), rtol=2e-4, atol=1e-4)
+
+
+class TestDPBatchVB:
+    def test_elbo_trajectory_matches(self, mesh, gaussian_problem):
+        obs, z_true, prior, params = gaussian_problem
+        step1 = batch_vb.make_step(GaussianNIW)
+        stepN = make_dp_vb_step(GaussianNIW, mesh)
+        obs_sharded = shard_batch(obs, mesh)
+        p1, pN = params, params
+        for _ in range(5):
+            p1, e1 = step1(p1, prior, obs)
+            pN, eN = stepN(pN, prior, obs_sharded)
+            np.testing.assert_allclose(float(e1), float(eN), rtol=2e-5)
+        for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(pN)):
+            np.testing.assert_allclose(np.array(a), np.array(b), rtol=2e-3, atol=2e-3)
+
+
+class TestDPSVI:
+    def test_dp_minibatch_svi_converges(self, mesh):
+        K, D, N, T = 4, 2, 64, 100
+        obs, z_true, _ = gen_gaussian_dataset(
+            jax.random.PRNGKey(3), K, D, N, T, mean_scale=6.0, cov_scale=0.3
+        )
+        prior = make_prior(K, GaussianNIW, obs_dim=D)
+        params0 = init_params(jax.random.PRNGKey(4), prior, GaussianNIW, obs)
+        cfg = svi.SVIConfig(batch_size=16, tau=5.0, kappa=0.6)
+        step = make_dp_minibatch_svi_step(GaussianNIW, cfg, num_seqs=N, mesh=mesh)
+        obs_sharded = shard_batch(obs, mesh)
+        state = svi.init_state(params0, jax.random.PRNGKey(5))
+        for _ in range(120):
+            state, _ = step(state, prior, obs_sharded)
+        zs = decode(state.params, GaussianNIW, obs)
+        err = hamming_error(np.array(zs), np.array(z_true), K)
+        assert err < 0.05, f"hamming {err}"
+
+    def test_batch_size_validation(self, mesh):
+        cfg = svi.SVIConfig(batch_size=10)
+        with pytest.raises(ValueError, match="divisible"):
+            make_dp_minibatch_svi_step(GaussianNIW, cfg, num_seqs=100, mesh=mesh)
+
+
+class TestDPMetaObs:
+    def test_dp_metaobs_converges(self, mesh):
+        K, D, T = 4, 2, 3200
+        obs, z_true, _ = gen_gaussian_dataset(
+            jax.random.PRNGKey(6), K, D, 1, T, mean_scale=6.0, cov_scale=0.3
+        )
+        chain = obs[0]
+        prior = make_prior(K, GaussianNIW, obs_dim=D)
+        params0 = init_params(jax.random.PRNGKey(7), prior, GaussianNIW, chain)
+        cfg = metaobs.MetaObsConfig(minibatch=8, block_len=100, buffer=10, tau=10.0, kappa=0.6)
+        step = make_dp_metaobs_step(GaussianNIW, cfg, chain_len=T, mesh=mesh)
+        state = svi.init_state(params0, jax.random.PRNGKey(8))
+        for _ in range(150):
+            state, _ = step(state, prior, chain)
+        zs = decode(state.params, GaussianNIW, chain[None])
+        err = hamming_error(np.array(zs), np.array(z_true), K)
+        assert err < 0.05, f"hamming {err}"
