@@ -1,0 +1,106 @@
+"""Benchmark: E-step throughput, sequences/sec/chip at K=64, T=1k.
+
+The BASELINE.json primary metric. Measures the full local E-step — expected
+emission log-likelihoods + forward-backward + expected sufficient stats —
+batched over sequences on one chip, steady-state, and compares against the
+NumPy float64 oracle (the reference stand-in: pysvihmm itself is a NumPy/
+Cython single-machine library with no published numbers — BASELINE.md).
+
+Timing methodology (important on the axon-relay TPU backend):
+  * `block_until_ready` does NOT wait on this backend and per-dispatch
+    latency is ~3.5 ms, so iterations run INSIDE one jitted `lax.scan`
+    (with a data dependency threaded between iterations to keep them
+    sequential) and completion is forced with a device-to-host transfer.
+
+Prints ONE JSON line:
+  {"metric": "estep_seqs_per_sec_per_chip_K64_T1k", "value": N,
+   "unit": "seq/s", "vs_baseline": N}
+vs_baseline = speedup over the NumPy float64 oracle on this host.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+K, D, T = 64, 8, 1000
+
+
+def bench_jax(batch=1024, iters=20, method="scan"):
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from pysvihmm_tpu.data.synthetic import gen_gaussian_dataset
+    from pysvihmm_tpu.distributions import GaussianNIW
+    from pysvihmm_tpu.engines.base import batch_local_step
+    from pysvihmm_tpu.models.hmm import init_params, make_prior
+
+    obs, _, _ = gen_gaussian_dataset(jax.random.PRNGKey(0), K, D, batch, T)
+    obs = obs.astype(jnp.float32)
+    prior = make_prior(K, GaussianNIW, obs_dim=D)
+    params = init_params(jax.random.PRNGKey(1), prior, GaussianNIW, obs)
+
+    def estep_chained(carry, _):
+        # thread a negligible data dependency so iterations serialize
+        stats, _ = batch_local_step(
+            params._replace(init=params.init + carry * 1e-30), GaussianNIW, obs, method
+        )
+        return stats.log_z * 0.0 + carry, stats.log_z
+
+    @jax.jit
+    def run_n(n_zero):
+        final, log_zs = lax.scan(estep_chained, n_zero, None, length=iters)
+        return log_zs[-1]
+
+    def sync(x):
+        return np.asarray(jax.device_get(x))
+
+    zero = jnp.zeros(())
+    sync(run_n(zero))  # compile + warmup
+    t0 = time.perf_counter()
+    sync(run_n(zero))
+    dt = (time.perf_counter() - t0) / iters
+    return batch / dt, dt
+
+
+def bench_oracle(n_seq=2):
+    """NumPy float64 oracle throughput (reference stand-in)."""
+    from pysvihmm_tpu.oracle import numpy_ref as oracle
+
+    rng = np.random.default_rng(0)
+    log_pi = np.log(rng.dirichlet(np.ones(K)))
+    log_A = np.log(rng.dirichlet(np.ones(K), size=K))
+    mean = rng.normal(size=(K, D))
+    kappa = np.full(K, 2.0)
+    nu = np.full(K, D + 2.0)
+    psi = np.tile(np.eye(D), (K, 1, 1))
+    y = rng.normal(size=(T, D))
+
+    t0 = time.perf_counter()
+    for _ in range(n_seq):
+        ll = oracle.niw_expected_log_likelihood(mean, kappa, nu, psi, y)
+        oracle.forward_backward(log_pi, log_A, ll)
+    dt = (time.perf_counter() - t0) / n_seq
+    return 1.0 / dt, dt
+
+
+def main():
+    method = sys.argv[1] if len(sys.argv) > 1 else "scan"
+    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
+    jax_sps, jax_dt = bench_jax(batch=batch, method=method)
+    orc_sps, orc_dt = bench_oracle()
+    result = {
+        "metric": "estep_seqs_per_sec_per_chip_K64_T1k",
+        "value": round(jax_sps, 2),
+        "unit": "seq/s",
+        "vs_baseline": round(jax_sps / orc_sps, 2),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,56 @@
+"""Host-sharded data loading for pod-scale corpora (BASELINE config 5).
+
+The reference loads everything into one NumPy array (single host). For a
+1M-sequence corpus across hosts, each process materializes only its own
+shard and assembles a globally-sharded jax.Array without cross-host traffic
+(SURVEY.md §5 "multi-host input pipeline ... without host OOM").
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def process_shard_bounds(total: int, num_processes: int, process_id: int) -> tuple[int, int]:
+    """Contiguous [start, end) slice of the corpus owned by this process."""
+    per = total // num_processes
+    rem = total % num_processes
+    start = process_id * per + min(process_id, rem)
+    return start, start + per + (1 if process_id < rem else 0)
+
+
+class ShardedSequenceLoader:
+    """Minibatch iterator over a host-sharded (N, T, ...) corpus.
+
+    load_shard(start, end) is the user's IO function (memmap, parquet, ...);
+    it runs once per host for its own slice only. Batches are returned as
+    globally-sharded arrays over the mesh's 'data' axis, one epoch-shuffled
+    pass at a time, with per-host local shuffling (no cross-host gather).
+    """
+
+    def __init__(
+        self,
+        load_shard: Callable[[int, int], np.ndarray],
+        total: int,
+        mesh: Mesh,
+        batch_per_host: int,
+        seed: int = 0,
+    ):
+        self.mesh = mesh
+        self.batch_per_host = batch_per_host
+        pid = jax.process_index()
+        nproc = jax.process_count()
+        self.start, self.end = process_shard_bounds(total, nproc, pid)
+        self.local = np.asarray(load_shard(self.start, self.end))
+        self.rng = np.random.default_rng(seed + pid)
+        self.sharding = NamedSharding(mesh, P("data"))
+
+    def __iter__(self) -> Iterator[jax.Array]:
+        order = self.rng.permutation(len(self.local))
+        for i in range(0, len(order) - self.batch_per_host + 1, self.batch_per_host):
+            batch = self.local[order[i : i + self.batch_per_host]]
+            yield jax.make_array_from_process_local_data(self.sharding, batch)

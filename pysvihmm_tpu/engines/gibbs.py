@@ -45,24 +45,25 @@ def make_sweep(emission, K: int):
         key, k_pi, k_A, k_emit, k_z = jax.random.split(state.key, 5)
         dtype = prior.init.dtype
 
-        # --- theta | z ---------------------------------------------------
-        init_counts, trans_counts, oh = _count_stats(state.z, K, dtype)
-        pi = jax.random.dirichlet(k_pi, prior.init + init_counts)
-        A = jax.random.dirichlet(k_A, prior.trans + trans_counts)
-
-        emit_stats = emission_flat_stats(emission, prior.emit, oh, obs)
-        emit_post = emission.posterior(prior.emit, emit_stats)
-        theta_emit = emission.sample_params(k_emit, emit_post)
-
         # --- z | theta ---------------------------------------------------
-        log_pi = jnp.log(pi)
-        log_A = jnp.log(A)
-        ll = emission.point_log_likelihood(theta_emit, obs)  # (B, T, K)
+        # (z first so the data-seeded initial theta drives the first sweep)
+        pi_cur, A_cur, theta_cur = state.theta
+        log_pi = jnp.log(pi_cur)
+        log_A = jnp.log(A_cur)
+        ll = emission.point_log_likelihood(theta_cur, obs)  # (B, T, K)
         B = obs.shape[0]
         zkeys = jax.random.split(k_z, B)
         z = jax.vmap(lambda k, l: messages.ffbs_sample(k, log_pi, log_A, l))(zkeys, ll)
 
-        # Joint log density (up to constant): for convergence monitoring.
+        # --- theta | z ---------------------------------------------------
+        init_counts, trans_counts, oh = _count_stats(z, K, dtype)
+        pi = jax.random.dirichlet(k_pi, prior.init + init_counts)
+        A = jax.random.dirichlet(k_A, prior.trans + trans_counts)
+        emit_stats = emission_flat_stats(emission, prior.emit, oh, obs)
+        emit_post = emission.posterior(prior.emit, emit_stats)
+        theta_emit = emission.sample_params(k_emit, emit_post)
+
+        # Data marginal likelihood under the swept params (monitoring).
         _, log_z_filt = jax.vmap(lambda l: messages.forward(log_pi, log_A, l))(ll)
         metrics = {"marginal_loglik": jnp.sum(log_z_filt)}
 
@@ -72,12 +73,20 @@ def make_sweep(emission, K: int):
 
 
 def init_state(key: jax.Array, prior: HMMParams, emission, obs: jax.Array, K: int) -> GibbsState:
-    k_z, k_t, key = jax.random.split(key, 3)
+    k_z, k_t, k_m, key = jax.random.split(key, 4)
     B, T = obs.shape[0], obs.shape[1]
     z0 = jax.random.randint(k_z, (B, T), 0, K).astype(jnp.int32)
     pi0 = jnp.full((K,), 1.0 / K, prior.init.dtype)
     A0 = jnp.full((K, K), 1.0 / K, prior.init.dtype)
     theta0 = emission.sample_params(k_t, prior.emit)
+    if emission is GaussianNIW:
+        # Seed means at farthest-point data locations (like the VB init):
+        # prior-mean draws sit at the prior mean and mix badly on offset data.
+        from ..models.hmm import _farthest_point_means
+
+        flat = obs.reshape(-1, obs.shape[-1]).astype(prior.emit.mean.dtype)
+        mu0 = _farthest_point_means(k_m, flat, K)
+        theta0 = (mu0, theta0[1])
     return GibbsState(z=z0, theta=(pi0, A0, theta0), key=key)
 
 

@@ -30,6 +30,7 @@ from .scan_fb import (
     viterbi,
 )
 from .assoc_fb import forward_backward_assoc, log_normalizer_assoc
+from .blocked import forward_backward_blocked
 
 
 def e_step_grad(
@@ -64,6 +65,8 @@ def e_step(
         return forward_backward(log_pi, log_A, log_lik, weights)
     if method == "assoc":
         return forward_backward_assoc(log_pi, log_A, log_lik, weights)
+    if method == "blocked":
+        return forward_backward_blocked(log_pi, log_A, log_lik, weights)
     if method == "grad":
         if weights is not None:
             raise ValueError("grad e-step does not support buffer weights")
@@ -77,6 +80,7 @@ __all__ = [
     "backward",
     "forward_backward",
     "forward_backward_assoc",
+    "forward_backward_blocked",
     "forward_filter_log",
     "log_normalizer",
     "log_normalizer_assoc",

@@ -70,6 +70,35 @@ def log_z_brute_force(log_pi, log_A, log_lik):
     return total
 
 
+try:  # C fast path (built via `python setup.py build_ext --inplace`)
+    from . import _fb_ext as _C
+except ImportError:  # pure-NumPy fallback, like the reference's
+    _C = None
+
+HAVE_C_EXT = _C is not None
+
+
+def forward_backward_fast(log_pi, log_A, log_lik):
+    """C-accelerated forward-backward (the reference's Cython-ext analog).
+
+    Identical contract to :func:`forward_backward`; falls back to the NumPy
+    loop when the extension isn't built. Equality is tested in
+    tests/test_native_ext.py.
+    """
+    if _C is None:
+        return forward_backward(log_pi, log_A, log_lik)
+    T, K = log_lik.shape
+    log_pi = np.ascontiguousarray(log_pi, np.float64)
+    log_A = np.ascontiguousarray(log_A, np.float64)
+    log_lik = np.ascontiguousarray(log_lik, np.float64)
+    alpha = np.empty((T, K))
+    beta = np.empty((T, K))
+    gamma = np.empty((T, K))
+    xi_sum = np.empty((K, K))
+    log_z = _C.fb_c(log_pi, log_A, log_lik, alpha, beta, gamma, xi_sum)
+    return alpha, beta, gamma, xi_sum, log_z
+
+
 # ---------------------------------------------------------------- dirichlet
 
 def dir_elogp(alpha):

@@ -1,0 +1,117 @@
+"""Experiment runner (reference L4: per-engine experiment scripts, SURVEY.md
+§1/§4): generate-or-load data, run a configured engine, log structured
+metrics, optionally checkpoint.
+
+Examples:
+  python scripts/run_experiment.py --engine batch_vb --K 4 --num-iters 50
+  python scripts/run_experiment.py --engine svi --K 16 --svi-batch-size 32 \
+      --svi-subchain-len 50 --num-iters 2000 --log-every 100
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pysvihmm_tpu.config import parse_config
+from pysvihmm_tpu.data.synthetic import gen_gaussian_dataset, gen_multinomial_dataset
+from pysvihmm_tpu.distributions import GaussianNIW, MultinomialDirichlet
+from pysvihmm_tpu.engines import batch_sgd, batch_vb, gibbs, metaobs, svi
+from pysvihmm_tpu.engines.base import decode, lower_bound
+from pysvihmm_tpu.eval.metrics import hamming_error
+from pysvihmm_tpu.models.hmm import init_params, make_prior
+from pysvihmm_tpu.utils import checkpoint
+from pysvihmm_tpu.utils.logging import MetricsLogger
+
+
+def main(argv=None):
+    cfg = parse_config(argv)
+    key = jax.random.PRNGKey(cfg.run.seed)
+    log = MetricsLogger()
+
+    if cfg.model.emission == "gaussian":
+        emission = GaussianNIW
+        obs, z_true, _ = gen_gaussian_dataset(
+            key, cfg.model.K, cfg.model.obs_dim, num_seqs=64, T=500,
+            mean_scale=6.0, cov_scale=0.3,
+        )
+        prior = make_prior(cfg.model.K, emission, obs_dim=cfg.model.obs_dim,
+                           alpha_init=cfg.model.alpha_init,
+                           alpha_tran=cfg.model.alpha_tran)
+    else:
+        emission = MultinomialDirichlet
+        obs, z_true, _ = gen_multinomial_dataset(
+            key, cfg.model.K, cfg.model.num_symbols, num_seqs=64, T=500
+        )
+        prior = make_prior(cfg.model.K, emission, num_symbols=cfg.model.num_symbols)
+
+    params = init_params(jax.random.PRNGKey(cfg.run.seed + 1), prior, emission, obs)
+    t0 = time.perf_counter()
+
+    if cfg.run.engine == "batch_vb":
+        params, elbos = batch_vb.fit(params, prior, obs, emission,
+                                     num_iters=cfg.run.num_iters, method=cfg.run.method)
+        for i, e in enumerate(np.asarray(elbos)):
+            if i % cfg.run.log_every == 0:
+                log.write(step=i, elbo=float(e))
+    elif cfg.run.engine == "batch_sgd":
+        params, elbos = batch_sgd.fit(params, prior, obs, emission,
+                                      num_iters=cfg.run.num_iters,
+                                      tau=cfg.svi.tau, kappa=cfg.svi.kappa,
+                                      method=cfg.run.method)
+        for i, e in enumerate(np.asarray(elbos)):
+            if i % cfg.run.log_every == 0:
+                log.write(step=i, elbo=float(e))
+    elif cfg.run.engine in ("svi", "metaobs"):
+        chain = obs.reshape(-1, *obs.shape[2:])  # concatenate into one chain
+        state = svi.init_state(params, jax.random.PRNGKey(cfg.run.seed + 2))
+        if cfg.run.engine == "svi":
+            c = svi.SVIConfig(batch_size=cfg.svi.batch_size,
+                              subchain_len=cfg.svi.subchain_len,
+                              buffer=cfg.svi.buffer, tau=cfg.svi.tau,
+                              kappa=cfg.svi.kappa)
+            state, metrics = svi.fit(state, prior, chain, emission, c,
+                                     cfg.run.num_iters, cfg.run.method)
+        else:
+            c = metaobs.MetaObsConfig(minibatch=cfg.svi.batch_size,
+                                      block_len=cfg.svi.subchain_len,
+                                      buffer=cfg.svi.buffer, tau=cfg.svi.tau,
+                                      kappa=cfg.svi.kappa)
+            state, metrics = metaobs.fit(state, prior, chain, emission, c,
+                                         cfg.run.num_iters, cfg.run.method)
+        params = state.params
+        ne = np.asarray(metrics["noisy_elbo"])
+        for i in range(0, len(ne), cfg.run.log_every):
+            log.write(step=i, noisy_elbo=float(ne[i]))
+        if cfg.run.checkpoint_dir:
+            checkpoint.save_step(cfg.run.checkpoint_dir, int(state.step), state)
+    elif cfg.run.engine == "gibbs":
+        state = gibbs.init_state(jax.random.PRNGKey(cfg.run.seed + 2), prior,
+                                 emission, obs, cfg.model.K)
+        state, metrics = gibbs.run(state, prior, obs, emission, cfg.model.K,
+                                   cfg.run.num_iters)
+        mll = np.asarray(metrics["marginal_loglik"])
+        for i in range(0, len(mll), cfg.run.log_every):
+            log.write(step=i, marginal_loglik=float(mll[i]))
+    else:
+        raise SystemExit(f"unknown engine {cfg.run.engine}")
+
+    wall = time.perf_counter() - t0
+    if cfg.run.engine == "gibbs":
+        z_hat = np.asarray(state.z)
+    else:
+        z_hat = np.asarray(decode(params, emission, obs))
+    err = hamming_error(z_hat.reshape(-1), np.asarray(z_true).reshape(-1), cfg.model.K)
+    final_elbo = float(lower_bound(params, prior, emission, obs)) if cfg.run.engine != "gibbs" else None
+    log.write(event="done", wall_s=wall, hamming=err, final_elbo=final_elbo)
+
+
+if __name__ == "__main__":
+    main()
