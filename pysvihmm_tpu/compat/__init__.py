@@ -194,13 +194,11 @@ class MinibatchSVIHMM(_HMMBase):
         self.cfg = svi.SVIConfig(batch_size=batch_size, tau=tau, kappa=kappa)
 
     def infer(self, maxit: int = 500, method: str = "scan", seed: int = 0):
-        step = svi.make_minibatch_step(
-            self.emission, self.cfg, num_seqs=self.obs.shape[0], method=method
-        )
         state = svi.init_state(self.params, jax.random.PRNGKey(seed))
-        for _ in range(maxit):
-            state, metrics = step(state, self.prior, self.obs)
-            self.elbo_history.append(float(metrics["noisy_elbo"]))
+        state, metrics = svi.fit_minibatch(
+            state, self.prior, self.obs, self.emission, self.cfg, maxit, method
+        )
+        self.elbo_history += [float(x) for x in np.asarray(metrics["noisy_elbo"])]
         self.params = state.params
         return self
 

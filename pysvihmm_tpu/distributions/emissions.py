@@ -72,6 +72,11 @@ class GaussianNIW:
         return niw.gaussian_log_likelihood(mu, sigma, y)
 
     @staticmethod
+    def predictive_log_likelihood(params: NIW, y: jax.Array) -> jax.Array:
+        """Exact posterior-predictive (Student-t, integrates out mu/Sigma)."""
+        return niw.predictive_log_likelihood(params, y)
+
+    @staticmethod
     def sample_params(key: jax.Array, q: NIW):
         return niw.sample_params(key, q)
 
@@ -131,6 +136,13 @@ class MultinomialDirichlet:
     def point_log_likelihood(theta: jax.Array, y: jax.Array) -> jax.Array:
         """theta = phi (K, V) simplex rows; y int (...,) -> (..., K)."""
         logp = jnp.log(theta)
+        return jnp.moveaxis(logp[:, y], 0, -1)
+
+    @staticmethod
+    def predictive_log_likelihood(params: jax.Array, y: jax.Array) -> jax.Array:
+        """Exact single-symbol Dirichlet-multinomial predictive = posterior
+        mean probabilities (gathered at y)."""
+        logp = jnp.log(dirichlet.mean(params))
         return jnp.moveaxis(logp[:, y], 0, -1)
 
     @staticmethod

@@ -295,6 +295,34 @@ def sample_params(key: jax.Array, q: NIW) -> tuple[jax.Array, jax.Array]:
     return mu, sigma
 
 
+def predictive_log_likelihood(q: NIW, y: jax.Array) -> jax.Array:
+    """Exact NIW posterior-predictive: y ~ multivariate Student-t.
+
+    y | q ~ t_{nu'}(m, Psi (kappa+1) / (kappa nu')) with nu' = nu - D + 1
+    (Murphy, "Conjugate Bayesian analysis of the Gaussian", eq. 232).
+    y (..., D), q leading (K,) -> (..., K). The plug-in-mean alternative is
+    :func:`mean_params` + :func:`gaussian_log_likelihood` (reference
+    behavior [MED]); this exact form integrates out (mu, Sigma).
+    """
+    D = q.mean.shape[-1]
+    nu_p = q.nu - D + 1.0  # (K,)
+    scale_fac = (q.kappa + 1.0) / (q.kappa * nu_p)  # (K,)
+    S = q.psi * scale_fac[..., None, None]  # (K, D, D)
+    chol = jnp.linalg.cholesky(S)
+    logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol, axis1=-2, axis2=-1)), axis=-1)
+    eye = jnp.broadcast_to(jnp.eye(D, dtype=S.dtype), S.shape)
+    prec = jax.scipy.linalg.cho_solve((chol, True), eye)
+    diff = y[..., None, :] - q.mean  # (..., K, D)
+    quad = jnp.einsum("...kd,kde,...ke->...k", diff, prec, diff)
+    return (
+        gammaln((nu_p + D) / 2.0)
+        - gammaln(nu_p / 2.0)
+        - 0.5 * D * jnp.log(nu_p * jnp.pi)
+        - 0.5 * logdet
+        - 0.5 * (nu_p + D) * jnp.log1p(quad / nu_p)
+    )
+
+
 def gaussian_log_likelihood(mu: jax.Array, sigma: jax.Array, y: jax.Array) -> jax.Array:
     """log N(y_t | mu_k, Sigma_k): y (..., D), mu (K, D) -> (..., K)."""
     D = mu.shape[-1]

@@ -48,7 +48,14 @@ def batch_local_step(
     log_pi, log_A = expected_log_params(params)
     ll = emission.expected_log_likelihood(params.emit, obs)  # (B, T, K)
 
-    if weights is None:
+    if method == "pallas":
+        if weights is not None:
+            raise ValueError("pallas e-step does not support buffer weights yet")
+        from ..messages.pallas_fb import pallas_forward_backward_batched
+
+        fb = pallas_forward_backward_batched(log_pi, log_A, ll)
+        gamma_w = fb.gamma
+    elif weights is None:
         fb = jax.vmap(lambda l: messages.e_step(log_pi, log_A, l, method=method))(ll)
         gamma_w = fb.gamma
     else:
@@ -96,19 +103,24 @@ def viterbi_decode(params: HMMParams, emission, obs: jax.Array) -> jax.Array:
 
 
 def predictive_log_likelihood(
-    params: HMMParams, emission, obs: jax.Array
+    params: HMMParams, emission, obs: jax.Array, exact: bool = False
 ) -> jax.Array:
-    """Held-out predictive log-likelihood via posterior-mean plug-in.
+    """Held-out predictive log-likelihood via the forward filter.
 
-    Runs the forward filter with point parameters (pi_bar, A_bar, phi_bar)
-    [reference: ``pred_logprob`` helpers, MED — SURVEY.md §2.2] and returns
-    summed log p(y_held | theta_bar).
+    exact=False (default): posterior-mean plug-in parameters (pi_bar, A_bar,
+    phi_bar) — the reference's behavior [``pred_logprob`` helpers, MED —
+    SURVEY.md §2.2]. exact=True: emissions scored with the exact
+    posterior-predictive density (Student-t / Dirichlet-multinomial),
+    integrating out phi per observation.
     """
     from ..distributions import dirichlet
 
     log_pi = jnp.log(dirichlet.mean(params.init))
     log_A = jnp.log(dirichlet.mean(params.trans))
-    theta = emission.mean_params(params.emit)
-    ll = emission.point_log_likelihood(theta, obs)
+    if exact:
+        ll = emission.predictive_log_likelihood(params.emit, obs)
+    else:
+        theta = emission.mean_params(params.emit)
+        ll = emission.point_log_likelihood(theta, obs)
     _, log_z = jax.vmap(lambda l: messages.forward(log_pi, log_A, l))(ll)
     return jnp.sum(log_z)

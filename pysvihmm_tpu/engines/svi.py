@@ -49,16 +49,53 @@ class SVIConfig(NamedTuple):
     buffer: int = 10  # b buffer steps on each side (paper §3.2)
     tau: float = 1.0  # step-size delay
     kappa: float = 0.6  # forgetting rate, in (0.5, 1]
+    adaptive: bool = False  # elastic step-size adaptation (Ranganath et al.)
 
 
 class SVIState(NamedTuple):
     params: HMMParams
     step: jax.Array  # () int32
     key: jax.Array  # PRNG key, device-side
+    adapt: object = None  # AdaptiveState when cfg.adaptive, else None
 
 
-def init_state(params: HMMParams, key: jax.Array) -> SVIState:
-    return SVIState(params=params, step=jnp.asarray(0, jnp.int32), key=key)
+def init_state(
+    params: HMMParams, key: jax.Array, adaptive: bool = False
+) -> SVIState:
+    adapt = None
+    if adaptive:
+        from ..utils.schedules import adaptive_init
+
+        dim = sum(x.size for x in jax.tree.leaves(params))
+        adapt = adaptive_init(dim, params.init.dtype)
+    return SVIState(params=params, step=jnp.asarray(0, jnp.int32), key=key, adapt=adapt)
+
+
+def _nat_flat(params: HMMParams) -> jax.Array:
+    """Flatten global params in NATURAL coordinates (where the conjugate SVI
+    update is linear) for the adaptive-step moment estimates."""
+    from ..distributions.niw import NIW, to_natural
+
+    leaves = [params.init, params.trans]
+    if isinstance(params.emit, NIW):
+        leaves += list(to_natural(params.emit))
+    else:
+        leaves.append(params.emit)
+    return jnp.concatenate([jnp.ravel(x) for x in leaves])
+
+
+def _resolve_rho(state: SVIState, cfg, target: HMMParams):
+    """rho_t from the power schedule, or the elastic adaptive rule driven by
+    the natural-gradient (target - params) moments (SURVEY.md §5 'elastic
+    step-size adaptation'). Returns (rho, new_adapt_state)."""
+    dtype = state.params.init.dtype
+    if not cfg.adaptive:
+        return power_schedule(state.step.astype(dtype), cfg.tau, cfg.kappa), state.adapt
+    from ..utils.schedules import adaptive_update
+
+    grad = _nat_flat(target) - _nat_flat(state.params)
+    new_adapt, rho = adaptive_update(state.adapt, grad)
+    return rho, new_adapt
 
 
 def _gather_windows(obs: jax.Array, window_starts: jax.Array, W: int) -> jax.Array:
@@ -116,7 +153,14 @@ def make_step(emission, cfg: SVIConfig, chain_len: int, method: str = "scan"):
         is_chain_start = (starts == 0).astype(params.init.dtype)[:, None]
         init_stats = jnp.sum(gamma_at_start * is_chain_start, axis=0)
 
-        rho = power_schedule(state.step.astype(params.init.dtype), cfg.tau, cfg.kappa)
+        target = HMMParams(
+            init=dirichlet.posterior(prior.init, scale_init * init_stats),
+            trans=dirichlet.posterior(prior.trans, scale_trans * trans_stats),
+            emit=emission.nat_grad_step(
+                params.emit, prior.emit, emit_stats, scale_emit, 1.0
+            ),
+        )
+        rho, new_adapt = _resolve_rho(state, cfg, target)
 
         new_params = HMMParams(
             init=dirichlet.nat_grad_step(
@@ -138,7 +182,10 @@ def make_step(emission, cfg: SVIConfig, chain_len: int, method: str = "scan"):
         noisy_elbo = scale_emit * local_mass - global_kl(params, prior, emission)
 
         metrics = {"rho": rho, "noisy_elbo": noisy_elbo}
-        return SVIState(params=new_params, step=state.step + 1, key=key), metrics
+        return (
+            SVIState(params=new_params, step=state.step + 1, key=key, adapt=new_adapt),
+            metrics,
+        )
 
     return jax.jit(step)
 
@@ -154,6 +201,26 @@ def fit(
 ) -> tuple[SVIState, dict]:
     """Run num_steps SVI updates as one compiled scan over device-side state."""
     step = make_step(emission, cfg, obs.shape[0], method)
+
+    def body(s, _):
+        s2, m = step(s, prior, obs)
+        return s2, m
+
+    final, metrics = jax.lax.scan(body, state, None, length=num_steps)
+    return final, metrics
+
+
+def fit_minibatch(
+    state: SVIState,
+    prior: HMMParams,
+    obs: jax.Array,
+    emission,
+    cfg: SVIConfig,
+    num_steps: int,
+    method: str = "scan",
+) -> tuple[SVIState, dict]:
+    """Run num_steps minibatch-of-sequences SVI updates as one compiled scan."""
+    step = make_minibatch_step(emission, cfg, obs.shape[0], method)
 
     def body(s, _):
         s2, m = step(s, prior, obs)
@@ -186,14 +253,20 @@ def make_minibatch_step(emission, cfg: SVIConfig, num_seqs: int, method: str = "
         fb = jax.vmap(lambda l: messages.e_step(log_pi, log_A, l, method=method))(ll)
 
         emit_stats = emission_flat_stats(emission, params.emit, fb.gamma, batch)
-        rho = power_schedule(state.step.astype(params.init.dtype), cfg.tau, cfg.kappa)
+        init_stats = jnp.sum(fb.init_stats, 0)
+        trans_stats = jnp.sum(fb.trans_stats, 0)
+
+        target = HMMParams(
+            init=dirichlet.posterior(prior.init, scale * init_stats),
+            trans=dirichlet.posterior(prior.trans, scale * trans_stats),
+            emit=emission.nat_grad_step(params.emit, prior.emit, emit_stats, scale, 1.0),
+        )
+        rho, new_adapt = _resolve_rho(state, cfg, target)
 
         new_params = HMMParams(
-            init=dirichlet.nat_grad_step(
-                params.init, prior.init, jnp.sum(fb.init_stats, 0), scale, rho
-            ),
+            init=dirichlet.nat_grad_step(params.init, prior.init, init_stats, scale, rho),
             trans=dirichlet.nat_grad_step(
-                params.trans, prior.trans, jnp.sum(fb.trans_stats, 0), scale, rho
+                params.trans, prior.trans, trans_stats, scale, rho
             ),
             emit=emission.nat_grad_step(params.emit, prior.emit, emit_stats, scale, rho),
         )
@@ -201,6 +274,9 @@ def make_minibatch_step(emission, cfg: SVIConfig, num_seqs: int, method: str = "
 
         noisy_elbo = scale * jnp.sum(fb.log_z) - global_kl(params, prior, emission)
         metrics = {"rho": rho, "noisy_elbo": noisy_elbo}
-        return SVIState(params=new_params, step=state.step + 1, key=key), metrics
+        return (
+            SVIState(params=new_params, step=state.step + 1, key=key, adapt=new_adapt),
+            metrics,
+        )
 
     return jax.jit(step)

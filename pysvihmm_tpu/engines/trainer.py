@@ -1,0 +1,64 @@
+"""Fault-tolerant training driver: periodic checkpoint + resume-on-restart.
+
+SURVEY.md §5 "failure detection / elastic recovery": the reference has none;
+pod-scale SVI needs restartable runs whose (t + tau)^(-kappa) schedule (and
+elastic-step state) survives preemption. This driver wraps any
+(state, prior, obs) -> (state, metrics) step function with:
+
+  * periodic atomic checkpoints (utils/checkpoint.save_step);
+  * automatic resume from the latest checkpoint in the directory;
+  * NaN watchdog (jax.debug-free: a host-side check every log_every steps
+    that aborts with a clear error instead of silently diverging).
+
+Single-host API; on multi-host deployments each process calls this with its
+own checkpoint dir (state is replicated, so host 0's checkpoint suffices —
+pass checkpoint_dir=None on other hosts).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import numpy as np
+
+from ..utils import checkpoint
+from ..utils.logging import MetricsLogger
+
+
+def train(
+    step_fn: Callable,
+    state: Any,
+    prior: Any,
+    obs: Any,
+    num_steps: int,
+    *,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 1000,
+    log: MetricsLogger | None = None,
+    log_every: int = 100,
+    resume: bool = True,
+) -> Any:
+    """Run step_fn up to num_steps total (counting resumed progress)."""
+    if checkpoint_dir and resume:
+        latest = checkpoint.latest_step_path(checkpoint_dir)
+        if latest is not None:
+            state = checkpoint.restore(latest, state)
+
+    start = int(np.asarray(jax.device_get(state.step)))
+    metrics = None
+    for i in range(start, num_steps):
+        state, metrics = step_fn(state, prior, obs)
+        done = i + 1
+        if log is not None and done % log_every == 0:
+            host_metrics = {k: float(np.asarray(jax.device_get(v))) for k, v in metrics.items()}
+            if not np.isfinite(host_metrics.get("noisy_elbo", 0.0)):
+                raise FloatingPointError(
+                    f"non-finite objective at step {done}: {host_metrics}"
+                )
+            log.write(step=done, **host_metrics)
+        if checkpoint_dir and done % checkpoint_every == 0:
+            checkpoint.save_step(checkpoint_dir, done, state)
+    if checkpoint_dir and num_steps > start:
+        checkpoint.save_step(checkpoint_dir, num_steps, state)
+    return state

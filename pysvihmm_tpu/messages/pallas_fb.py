@@ -1,23 +1,31 @@
 """Pallas TPU kernel: fused batched forward-backward message passing.
 
 The TPU-native replacement for the reference's Cython E-step hot loop
-(SURVEY.md §2.3: "the centerpiece"). XLA's `lax.scan` pays per-step
-scheduling overhead and round-trips alpha through HBM every step; this
-kernel keeps the (TILE_B, K) message carry in VMEM scratch across the whole
-time axis, streaming likelihood tiles HBM->VMEM through pallas's pipelined
-BlockSpec machinery, with each step one fused
-(TILE_B, K) @ (K, K) MXU matmul + VPU rescale.
+(SURVEY.md §2.3: "the centerpiece"). XLA's `lax.scan` pays ~10 us per-step
+scheduling overhead and re-materializes the carry through HBM every step;
+this kernel keeps the whole batch's (B_TILE, K) message carry in VMEM
+scratch across the time axis, streaming likelihood tiles HBM->VMEM through
+pallas's pipelined BlockSpec machinery, each step one fused
+(B_TILE, K) @ (K, K) MXU matmul + VPU rescale.
 
-Grid layout: (batch_tiles, time_tiles) — the time axis is the trailing
-(sequential) grid dimension, so VMEM scratch legally carries alpha/logz
-across time tiles; batch tiles are independent.
+Performance-critical layout decisions (measured on v5e):
+  * Arrays are TIME-MAJOR inside the kernel — (T, B, K) — so a time step is
+    a leading-axis slice (contiguous (B, K) tile), not a strided mid-axis
+    gather.
+  * The batch tile is as LARGE as VMEM allows (up to 1024 rows): grid cells
+    run sequentially on the TensorCore, so batch tiling multiplies the
+    sequential step count — the first version tiled batch by 128 and ran 16x
+    more dependent steps than necessary.
+  * Time tiles are small (multiples of 8 sublanes) purely to pipeline HBM
+    traffic; the carry crosses tiles in VMEM scratch.
+  * The step-0 special case (alpha_0 = pi * lik_0) is hoisted out of the
+    inner loop as a `pl.when` prologue — no per-step `lax.cond`.
 
-The kernels produce normalized alpha, beta (T, K per sequence) and per-step
-log-normalizers; smoothed marginals and summed pairwise stats are then two
-XLA matmuls (the factorized xi-sum trick in scan_fb.forward_backward), which
-XLA already maps to the MXU optimally — Pallas is used exactly where XLA is
-weak (the sequential recursion), per the kernel-design guidance in
-/opt/skills/guides/pallas_guide.md.
+The kernels produce normalized alpha, beta; smoothed marginals, per-step
+scaling constants and summed pairwise stats are then batched XLA matmuls
+(the factorized xi-sum trick in scan_fb.forward_backward) which XLA maps to
+the MXU optimally — Pallas is used exactly where XLA is weak (the
+sequential recursion).
 
 All kernels run under `interpret=True` on CPU for exact-agreement tests.
 """
@@ -36,94 +44,108 @@ from .scan_fb import FBResult, _normalize_loglik
 
 
 def _fwd_kernel(pi_ref, A_ref, lik_ref, alpha_ref, carry, *, C):
-    """One (batch_tile, time_tile) cell of the forward recursion.
+    """One time-tile of the forward recursion, whole batch tile at once.
 
-    pi_ref:   (1, K)        pi~ (step 0 handled here)
-    A_ref:    (K, K)        A~ = exp(E[log A])
-    lik_ref:  (TILE_B, C, K) max-normalized likelihoods for this time tile
-    alpha_ref:(TILE_B, C, K) out: normalized forward messages
-    carry:    (TILE_B, K)    VMEM scratch persisting across time tiles
-
-    Per-step scaling constants are NOT stored (lane-unaligned column stores
-    are illegal for Mosaic); log_c is reconstructed outside the kernel from
-    alpha with one parallel batched matmul.
+    pi_ref:   (1, K)            pi~
+    A_ref:    (K, K)            A~ = exp(E[log A])
+    lik_ref:  (C, B_TILE, K)    max-normalized likelihoods, time-major
+    alpha_ref:(C, B_TILE, K)    out: normalized forward messages
+    carry:    (B_TILE, K)       VMEM scratch persisting across time tiles
     """
     j = pl.program_id(1)
 
-    def step(c, _):
-        t_is_first = (j == 0) & (c == 0)
-        lik_t = lik_ref[:, c, :]
+    def advance(a_prev, lik_t):
+        a = jnp.dot(a_prev, A_ref[:, :], preferred_element_type=jnp.float32) * lik_t
+        return a / jnp.sum(a, axis=-1, keepdims=True)
 
-        def first():
-            return pi_ref[0, :][None, :] * lik_t
+    @pl.when(j == 0)
+    def _():
+        a0 = pi_ref[0, :][None, :] * lik_ref[0]
+        a0 = a0 / jnp.sum(a0, axis=-1, keepdims=True)
+        alpha_ref[0] = a0
+        carry[:, :] = a0
 
-        def rest():
-            return jnp.dot(
-                carry[:, :], A_ref[:, :], preferred_element_type=jnp.float32
-            ) * lik_t
-
-        a = lax.cond(t_is_first, first, rest)
-        s = jnp.sum(a, axis=-1, keepdims=True)
-        a = a / s
+    @pl.when(j != 0)
+    def _():
+        a = advance(carry[:, :], lik_ref[0])
+        alpha_ref[0] = a
         carry[:, :] = a
-        alpha_ref[:, c, :] = a
+
+    def step(c, _):
+        a = advance(carry[:, :], lik_ref[c])
+        alpha_ref[c] = a
+        carry[:, :] = a
         return _
 
-    lax.fori_loop(0, C, step, 0)
+    lax.fori_loop(1, C, step, 0)
 
 
 def _bwd_kernel(A_ref, likshift_ref, beta_ref, carry, *, C):
-    """Reverse-time cell: beta_t ∝ A~ @ (lik_{t+1} * beta_{t+1}), normalized.
+    """Reverse-time tile: beta_t ∝ (lik_{t+1} * beta_{t+1}) @ A~^T, normalized.
 
-    likshift holds lik shifted one step left (likshift[t] = lik[t+1], ones at
-    t = T-1) so each position's update only touches its own tile. Tiles
-    arrive in reverse time order (index_map flips j); within the tile we walk
-    c from C-1 down to 0; carry holds beta_{t+1} across tiles.
+    likshift[t] = lik[t+1] (ones at t = T-1) so each position only touches
+    its own tile. Tiles arrive in reverse time order; within a tile we walk
+    c = C-1 .. 0; carry holds beta_{t+1}.
     """
     j = pl.program_id(1)
 
+    def advance(b_next, likshift_t):
+        b = jnp.dot(
+            b_next * likshift_t,
+            A_ref[:, :].T,
+            preferred_element_type=jnp.float32,
+        )
+        return b / jnp.sum(b, axis=-1, keepdims=True)
+
+    @pl.when(j == 0)
+    def _():
+        ones = jnp.ones_like(carry[:, :])
+        beta_ref[C - 1] = ones
+        carry[:, :] = ones
+
+    @pl.when(j != 0)
+    def _():
+        b = advance(carry[:, :], likshift_ref[C - 1])
+        beta_ref[C - 1] = b
+        carry[:, :] = b
+
     def step(i, _):
-        c = C - 1 - i
-        t_is_last = (j == 0) & (c == C - 1)  # reversed order: j=0 is chain end
-
-        def last():
-            return jnp.ones_like(carry[:, :])
-
-        def rest():
-            b = jnp.dot(
-                carry[:, :] * likshift_ref[:, c, :],
-                A_ref[:, :].T,
-                preferred_element_type=jnp.float32,
-            )
-            return b / jnp.sum(b, axis=-1, keepdims=True)
-
-        b = lax.cond(t_is_last, last, rest)
-        beta_ref[:, c, :] = b
+        c = C - 2 - i
+        b = advance(carry[:, :], likshift_ref[c])
+        beta_ref[c] = b
         carry[:, :] = b
         return _
 
-    lax.fori_loop(0, C, step, 0)
+    lax.fori_loop(0, C - 1, step, 0)
 
 
 def _choose_tiles(B: int, T: int, K: int):
-    """Pick (batch_tile, time_tile). Mosaic requires the middle (sublane)
-    block dim divisible by 8 or equal to T; blocks must fit VMEM with
-    pipelining headroom (~3 buffers of lik + alpha in flight)."""
-    tile_b = min(B, 128)
+    """(batch_tile, time_tile): batch tile as large as VMEM affords (grid
+    cells serialize, so batch tiling multiplies sequential depth); time tile
+    a multiple of 8 (sublane rule) just big enough to pipeline DMA."""
+    # Mosaic multi-buffers each streamed block (~4 copies in flight between
+    # the fwd's lik-in + alpha-out); cap one block at ~1 MB to stay under the
+    # 16 MB scoped-VMEM limit with headroom, while keeping tile_b maximal.
+    block_budget = (1024 * 1024) // (K * 4)  # elems per (C, tile_b) block
+
+    def time_tile(tb):
+        cap = 8 * (block_budget // tb // 8)
+        for cand in range(min(cap, T - T % 8), 0, -8):
+            if T % cand == 0:
+                return cand
+        return 0
+
+    tile_b = min(B, 1024)
     while B % tile_b:
         tile_b //= 2
     tile_b = max(tile_b, 1)
-
-    budget_elems = (1536 * 1024) // (tile_b * K * 4)  # ~1.5 MB per block
-    C = 0
-    for cand in range(8 * (budget_elems // 8), 0, -8):
-        if T % cand == 0:
-            C = cand
-            break
+    C = time_tile(tile_b)
+    while C == 0 and tile_b > 1:
+        tile_b //= 2
+        C = time_tile(tile_b)
     if C == 0:
-        # no multiple-of-8 divisor fits: fall back to the whole time axis
-        # (legal as "equal to the array dim"), shrinking tile_b to fit VMEM.
-        while tile_b > 1 and tile_b * T * K * 4 > 3 * 1024 * 1024:
+        # tiny T with no multiple-of-8 divisor: whole time axis in one block
+        while tile_b > 1 and 4 * tile_b * T * K * 4 > 10 * 1024 * 1024:
             tile_b //= 2
         C = T
     return tile_b, C
@@ -140,74 +162,69 @@ def pallas_forward_backward_batched(
     log_z / stats (stats NOT summed over batch; log_c is (B, T))."""
     B, T, K = log_lik.shape
     A_tilde = jnp.exp(log_A).astype(jnp.float32)
-    lik, shifts = _normalize_loglik(log_lik.astype(jnp.float32))
+    lik_btk, shifts = _normalize_loglik(log_lik.astype(jnp.float32))
     pi_tilde = jnp.exp(log_pi).astype(jnp.float32)[None, :]  # (1, K)
 
+    lik = jnp.swapaxes(lik_btk, 0, 1)  # (T, B, K) time-major for the kernels
     tile_b, C = _choose_tiles(B, T, K)
     nB, nT = B // tile_b, T // C
 
-    (alpha,) = pl.pallas_call(
+    alpha_t = pl.pallas_call(
         functools.partial(_fwd_kernel, C=C),
         grid=(nB, nT),
         in_specs=[
             pl.BlockSpec((1, K), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((K, K), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_b, C, K), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, tile_b, K), lambda i, j: (j, i, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((tile_b, C, K), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((B, T, K), jnp.float32),
-        ],
+        out_specs=pl.BlockSpec(
+            (C, tile_b, K), lambda i, j: (j, i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((T, B, K), jnp.float32),
         scratch_shapes=[pltpu.VMEM((tile_b, K), jnp.float32)],
         interpret=interpret,
     )(pi_tilde, A_tilde, lik)
 
     lik_shift = jnp.concatenate(
-        [lik[:, 1:, :], jnp.ones((B, 1, K), jnp.float32)], axis=1
+        [lik[1:], jnp.ones((1, B, K), jnp.float32)], axis=0
     )
-    (beta,) = pl.pallas_call(
+    beta_t = pl.pallas_call(
         functools.partial(_bwd_kernel, C=C),
         grid=(nB, nT),
         in_specs=[
             pl.BlockSpec((K, K), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-            # reversed time order for the backward sweep
             pl.BlockSpec(
-                (tile_b, C, K),
-                lambda i, j, nT=nT: (i, nT - 1 - j, 0),
+                (C, tile_b, K),
+                lambda i, j, nT=nT: (nT - 1 - j, i, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
-        out_specs=[
-            pl.BlockSpec(
-                (tile_b, C, K),
-                lambda i, j, nT=nT: (i, nT - 1 - j, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_shape=[jax.ShapeDtypeStruct((B, T, K), jnp.float32)],
+        out_specs=pl.BlockSpec(
+            (C, tile_b, K),
+            lambda i, j, nT=nT: (nT - 1 - j, i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((T, B, K), jnp.float32),
         scratch_shapes=[pltpu.VMEM((tile_b, K), jnp.float32)],
         interpret=interpret,
     )(A_tilde, lik_shift)
 
-    # Reconstruct per-step scaling constants from the normalized alpha:
-    # c_t = sum_j (alpha_{t-1} @ A~)_j lik_tj, c_0 = sum(pi~ * lik_0) —
-    # one *parallel* batched matmul (shared with the xi normalizers below).
-    u = jnp.einsum("btk,kj->btj", alpha[:, :-1, :], A_tilde)  # (B, T-1, K)
-    c_rest = jnp.einsum("btk,btk->bt", u, lik[:, 1:, :])
-    c0 = jnp.einsum("k,bk->b", pi_tilde[0], lik[:, 0, :])
-    log_c = jnp.concatenate([jnp.log(c0)[:, None], jnp.log(c_rest)], axis=1) + shifts
+    # Everything below is parallel XLA matmul work in the time-major layout.
+    # u[t] = alpha_t @ A~ feeds both log_c and the xi normalizers.
+    u = jnp.einsum("tbk,kj->tbj", alpha_t[:-1], A_tilde)
+    c_rest = jnp.einsum("tbk,tbk->tb", u, lik[1:])
+    c0 = jnp.einsum("k,bk->b", pi_tilde[0], lik[0])
+    log_c = jnp.concatenate([jnp.log(c0)[None, :], jnp.log(c_rest)], axis=0)
+    log_c = jnp.swapaxes(log_c, 0, 1) + shifts  # (B, T)
     log_z = jnp.sum(log_c, axis=-1)
 
-    g = alpha * beta
-    gamma = g / jnp.sum(g, axis=-1, keepdims=True)
+    g = alpha_t * beta_t
+    gamma = jnp.swapaxes(g / jnp.sum(g, axis=-1, keepdims=True), 0, 1)
 
-    # Factorized pairwise stats (two MXU matmuls per sequence; XLA batches).
-    bl = lik[:, 1:, :] * beta[:, 1:, :]
-    n = jnp.einsum("btk,btk->bt", u, bl)
-    alpha_w = alpha[:, :-1, :] / n[..., None]
-    trans_stats = A_tilde[None] * jnp.einsum("btk,btj->bkj", alpha_w, bl)
+    bl = lik[1:] * beta_t[1:]
+    n = jnp.einsum("tbk,tbk->tb", u, bl)
+    alpha_w = alpha_t[:-1] / n[..., None]
+    trans_stats = A_tilde[None] * jnp.einsum("tbk,tbj->bkj", alpha_w, bl)
 
     return FBResult(
         gamma=gamma,

@@ -1,0 +1,69 @@
+"""Paper-figure analog: ELBO / predictive quality vs wall-clock across
+engines (the reference's NIPS-2014 experiment/plot scripts — SURVEY.md §2.2
+"Experiments/plots"). Consumes the JSONL metrics emitted by
+scripts/run_experiment.py / utils.logging.MetricsLogger.
+
+Usage:
+  python scripts/plot_comparison.py run_batchvb.jsonl run_svi.jsonl -o fig.png
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from pathlib import Path
+
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt
+
+
+def load_jsonl(path: str):
+    rows = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                rows.append(json.loads(line))
+    return rows
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("logs", nargs="+", help="JSONL metric files, one per engine")
+    ap.add_argument("-o", "--out", default="comparison.png")
+    ap.add_argument("--metric", default=None,
+                    help="metric key to plot (default: first of elbo/noisy_elbo/marginal_loglik present)")
+    args = ap.parse_args()
+
+    fig, (ax_time, ax_step) = plt.subplots(1, 2, figsize=(11, 4.2))
+    for path in args.logs:
+        rows = load_jsonl(path)
+        key = args.metric
+        if key is None:
+            for cand in ("elbo", "noisy_elbo", "marginal_loglik"):
+                if any(cand in r for r in rows):
+                    key = cand
+                    break
+        pts = [(r["wall_s"], r.get("step", i), r[key])
+               for i, r in enumerate(rows) if key in r]
+        if not pts:
+            continue
+        label = Path(path).stem
+        ax_time.plot([p[0] for p in pts], [p[2] for p in pts], label=label)
+        ax_step.plot([p[1] for p in pts], [p[2] for p in pts], label=label)
+
+    ax_time.set_xlabel("wall-clock (s)")
+    ax_time.set_ylabel("objective")
+    ax_time.set_title("objective vs wall-clock")
+    ax_step.set_xlabel("step")
+    ax_step.set_title("objective vs step")
+    ax_time.legend()
+    fig.tight_layout()
+    fig.savefig(args.out, dpi=150)
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

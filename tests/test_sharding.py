@@ -81,8 +81,16 @@ class TestDPSVI:
         step = make_dp_minibatch_svi_step(GaussianNIW, cfg, num_seqs=N, mesh=mesh)
         obs_sharded = shard_batch(obs, mesh)
         state = svi.init_state(params0, jax.random.PRNGKey(5))
-        for _ in range(120):
-            state, _ = step(state, prior, obs_sharded)
+
+        @jax.jit
+        def run(s):
+            def body(st, _):
+                st2, _m = step(st, prior, obs_sharded)
+                return st2, None
+            out, _ = jax.lax.scan(body, s, None, length=120)
+            return out
+
+        state = run(state)
         zs = decode(state.params, GaussianNIW, obs)
         err = hamming_error(np.array(zs), np.array(z_true), K)
         assert err < 0.05, f"hamming {err}"
@@ -105,8 +113,16 @@ class TestDPMetaObs:
         cfg = metaobs.MetaObsConfig(minibatch=8, block_len=100, buffer=10, tau=10.0, kappa=0.6)
         step = make_dp_metaobs_step(GaussianNIW, cfg, chain_len=T, mesh=mesh)
         state = svi.init_state(params0, jax.random.PRNGKey(8))
-        for _ in range(150):
-            state, _ = step(state, prior, chain)
+
+        @jax.jit
+        def run(s):
+            def body(st, _):
+                st2, _m = step(st, prior, chain)
+                return st2, None
+            out, _ = jax.lax.scan(body, s, None, length=150)
+            return out
+
+        state = run(state)
         zs = decode(state.params, GaussianNIW, chain[None])
         err = hamming_error(np.array(zs), np.array(z_true), K)
         assert err < 0.05, f"hamming {err}"

@@ -171,10 +171,8 @@ class TestMinibatchSVI:
         prior = make_prior(K, GaussianNIW, obs_dim=D)
         params0 = init_params(jax.random.PRNGKey(15), prior, GaussianNIW, obs)
         cfg = svi.SVIConfig(batch_size=8, tau=5.0, kappa=0.6)
-        step = svi.make_minibatch_step(GaussianNIW, cfg, num_seqs=N)
         state = svi.init_state(params0, jax.random.PRNGKey(16))
-        for _ in range(400):
-            state, _ = step(state, prior, obs)
+        state, _ = svi.fit_minibatch(state, prior, obs, GaussianNIW, cfg, 400)
         zs = decode(state.params, GaussianNIW, obs)
         err = hamming_error(np.array(zs), np.array(z_true), K)
         assert err < 0.05, f"hamming {err}"

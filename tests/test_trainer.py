@@ -1,0 +1,87 @@
+"""Fault-tolerant trainer + elastic step-size tests (BASELINE config 5
+subsystems: restart recovery and adaptive rho)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pysvihmm_tpu.data.synthetic import gen_gaussian_dataset, gen_multinomial_dataset
+from pysvihmm_tpu.distributions import GaussianNIW, MultinomialDirichlet
+from pysvihmm_tpu.engines import svi, trainer
+from pysvihmm_tpu.engines.base import decode, predictive_log_likelihood
+from pysvihmm_tpu.eval.metrics import hamming_error
+from pysvihmm_tpu.models.hmm import init_params, make_prior
+
+
+def _chain_problem(seed=5, K=4, D=2, T=2000):
+    obs, z_true, _ = gen_gaussian_dataset(
+        jax.random.PRNGKey(seed), K, D, 1, T, mean_scale=6.0, cov_scale=0.3
+    )
+    prior = make_prior(K, GaussianNIW, obs_dim=D)
+    params0 = init_params(jax.random.PRNGKey(seed + 1), prior, GaussianNIW, obs[0])
+    return obs[0], z_true[0], prior, params0
+
+
+class TestTrainer:
+    def test_restart_resumes_from_checkpoint(self, tmp_path):
+        chain, z_true, prior, params0 = _chain_problem()
+        cfg = svi.SVIConfig(batch_size=16, subchain_len=50, buffer=10, tau=10.0)
+        step = svi.make_step(GaussianNIW, cfg, chain_len=chain.shape[0])
+        d = str(tmp_path)
+
+        s = svi.init_state(params0, jax.random.PRNGKey(7))
+        s = trainer.train(step, s, prior, chain, 120, checkpoint_dir=d, checkpoint_every=40)
+        assert int(s.step) == 120
+
+        # "crash" and restart with a fresh state object: must resume, not redo
+        s2 = svi.init_state(params0, jax.random.PRNGKey(7))
+        s2 = trainer.train(step, s2, prior, chain, 200, checkpoint_dir=d, checkpoint_every=40)
+        assert int(s2.step) == 200
+        err = hamming_error(
+            np.asarray(decode(s2.params, GaussianNIW, chain[None])), np.asarray(z_true), 4
+        )
+        assert err < 0.05
+
+
+class TestAdaptiveStepSize:
+    def test_adaptive_svi_converges(self):
+        chain, z_true, prior, params0 = _chain_problem(seed=9)
+        cfg = svi.SVIConfig(batch_size=16, subchain_len=50, buffer=10, adaptive=True)
+        state = svi.init_state(params0, jax.random.PRNGKey(8), adaptive=True)
+        state, metrics = svi.fit(state, prior, chain, GaussianNIW, cfg, num_steps=250)
+        rhos = np.asarray(metrics["rho"])
+        err = hamming_error(
+            np.asarray(decode(state.params, GaussianNIW, chain[None])), np.asarray(z_true), 4
+        )
+        assert err < 0.05, f"hamming {err}"
+        # elastic rho must actually adapt (decay from its early values)
+        assert np.mean(rhos[-20:]) < np.mean(rhos[:20])
+
+
+class TestMultinomialSVI:
+    def test_config3_discrete_svi_with_predll(self):
+        """BASELINE config 3 (scaled): multinomial-emission SVI + held-out
+        predictive log-likelihood beating the uniform baseline."""
+        K, V, T = 6, 30, 6000
+        obs, z_true, _ = gen_multinomial_dataset(
+            jax.random.PRNGKey(12), K, V, 1, T, concentration=0.08
+        )
+        chain, held = obs[0][:5000], obs[0][5000:]
+        prior = make_prior(K, MultinomialDirichlet, num_symbols=V)
+        params0 = init_params(jax.random.PRNGKey(13), prior, MultinomialDirichlet)
+        cfg = svi.SVIConfig(batch_size=16, subchain_len=100, buffer=20, tau=10.0, kappa=0.6)
+        state = svi.init_state(params0, jax.random.PRNGKey(14))
+        state, _ = svi.fit(state, prior, chain, MultinomialDirichlet, cfg, num_steps=600)
+        pll = float(
+            predictive_log_likelihood(state.params, MultinomialDirichlet, held[None])
+        )
+        # far above the uniform baseline (the decisive quality signal here;
+        # per-state recovery on near-symmetric multinomials is init-limited
+        # for every engine incl. the reference's — see batch-VB comparisons)
+        assert pll > 0.8 * held.size * np.log(1.0 / V)
+        err = hamming_error(
+            np.asarray(decode(state.params, MultinomialDirichlet, chain[None])),
+            np.asarray(z_true[0][:5000]),
+            K,
+        )
+        assert err < 0.3, f"hamming {err}"
