@@ -71,13 +71,21 @@ def _fwd_kernel(pi_ref, A_ref, lik_ref, alpha_ref, carry, *, C):
         alpha_ref[0] = a
         carry[:, :] = a
 
-    def step(c, _):
-        a = advance(carry[:, :], lik_ref[c])
-        alpha_ref[c] = a
-        carry[:, :] = a
-        return _
+    if C <= 32:
+        # static unroll: fixed indices lower to aligned vector stores and the
+        # whole tile schedules as straight-line MXU/VPU code
+        for c in range(1, C):
+            a = advance(carry[:, :], lik_ref[c])
+            alpha_ref[c] = a
+            carry[:, :] = a
+    else:
+        def step(c, _):
+            a = advance(carry[:, :], lik_ref[c])
+            alpha_ref[c] = a
+            carry[:, :] = a
+            return _
 
-    lax.fori_loop(1, C, step, 0)
+        lax.fori_loop(1, C, step, 0)
 
 
 def _bwd_kernel(A_ref, likshift_ref, beta_ref, carry, *, C):
@@ -109,14 +117,20 @@ def _bwd_kernel(A_ref, likshift_ref, beta_ref, carry, *, C):
         beta_ref[C - 1] = b
         carry[:, :] = b
 
-    def step(i, _):
-        c = C - 2 - i
-        b = advance(carry[:, :], likshift_ref[c])
-        beta_ref[c] = b
-        carry[:, :] = b
-        return _
+    if C <= 32:
+        for c in range(C - 2, -1, -1):
+            b = advance(carry[:, :], likshift_ref[c])
+            beta_ref[c] = b
+            carry[:, :] = b
+    else:
+        def step(i, _):
+            c = C - 2 - i
+            b = advance(carry[:, :], likshift_ref[c])
+            beta_ref[c] = b
+            carry[:, :] = b
+            return _
 
-    lax.fori_loop(0, C - 1, step, 0)
+        lax.fori_loop(0, C - 1, step, 0)
 
 
 def _choose_tiles(B: int, T: int, K: int):
@@ -151,22 +165,26 @@ def _choose_tiles(B: int, T: int, K: int):
     return tile_b, C
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "tiles"))
 def pallas_forward_backward_batched(
     log_pi: jax.Array,
     log_A: jax.Array,
     log_lik: jax.Array,  # (B, T, K)
     interpret: bool = False,
+    tiles: tuple[int, int] | None = None,
 ) -> FBResult:
     """Batched fused FB. Returns FBResult with leading batch axis on gamma /
-    log_z / stats (stats NOT summed over batch; log_c is (B, T))."""
+    log_z / stats (stats NOT summed over batch; log_c is (B, T)).
+
+    tiles: optional (batch_tile, time_tile) override of _choose_tiles for
+    autotuning; both must divide (B, T) respectively."""
     B, T, K = log_lik.shape
     A_tilde = jnp.exp(log_A).astype(jnp.float32)
     lik_btk, shifts = _normalize_loglik(log_lik.astype(jnp.float32))
     pi_tilde = jnp.exp(log_pi).astype(jnp.float32)[None, :]  # (1, K)
 
     lik = jnp.swapaxes(lik_btk, 0, 1)  # (T, B, K) time-major for the kernels
-    tile_b, C = _choose_tiles(B, T, K)
+    tile_b, C = tiles if tiles is not None else _choose_tiles(B, T, K)
     nB, nT = B // tile_b, T // C
 
     alpha_t = pl.pallas_call(

@@ -1,0 +1,85 @@
+"""Autotune harness for the Pallas fused FB kernel (messages/pallas_fb.py).
+
+Times the FB kernel alone (not the full E-step) at K=64, T=1k across
+(batch_tile, time_tile) candidates, against the vmapped-scan FB, using the
+chained-`lax.scan` methodology from bench.py (the axon relay's
+block_until_ready does not wait; per-dispatch latency ~3.5 ms).
+
+Usage:  python scripts/bench_pallas_tune.py [B] [tile_b,C ...]
+        python scripts/bench_pallas_tune.py 1024 512,8 1024,8 256,24
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from pysvihmm_tpu import messages
+    from pysvihmm_tpu.messages.pallas_fb import pallas_forward_backward_batched
+
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
+    cands = []
+    for a in sys.argv[2:]:
+        tb, c = a.split(",")
+        cands.append((int(tb), int(c)))
+    if not cands:
+        cands = [None, (512, 8), (1024, 8), (1024, 16), (256, 8)]
+
+    T, K = 1000, 64
+    key = jax.random.PRNGKey(0)
+    ll = jax.random.normal(key, (B, T, K), jnp.float32)
+    lp = jnp.log(jnp.full((K,), 1.0 / K))
+    lA = jnp.log(jax.random.dirichlet(jax.random.PRNGKey(1), jnp.ones(K), (K,)))
+
+    iters = 20
+
+    def timed(fb_fn, label):
+        def chained(carry, _):
+            fb = fb_fn(lp, lA, ll + carry * 1e-30)
+            return carry + fb.log_z.sum() * 0.0, fb.log_z.sum()
+
+        @jax.jit
+        def run(z):
+            _, out = lax.scan(chained, z, None, length=iters)
+            return out[-1]
+
+        z = jnp.zeros(())
+        t0 = time.perf_counter()
+        np.asarray(jax.device_get(run(z)))
+        compile_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        np.asarray(jax.device_get(run(z)))
+        dt = (time.perf_counter() - t0) / iters
+        print(
+            f"{label:18s} {B/dt:>12.0f} seq/s   {dt*1e3:8.2f} ms/it   "
+            f"(compile {compile_s:.0f}s)",
+            flush=True,
+        )
+
+    def scan_fb(lp_, lA_, ll_):
+        return jax.vmap(lambda l: messages.e_step(lp_, lA_, l, method="scan"))(ll_)
+
+    timed(scan_fb, "scan")
+    for tiles in cands:
+        label = f"pallas {tiles}" if tiles else "pallas auto"
+        try:
+            timed(
+                lambda lp_, lA_, ll_, t=tiles: pallas_forward_backward_batched(
+                    lp_, lA_, ll_, tiles=t
+                ),
+                label,
+            )
+        except Exception as e:  # noqa: BLE001 — report and keep tuning
+            print(f"{label:18s} FAILED: {type(e).__name__}: {str(e)[:200]}")
+
+
+if __name__ == "__main__":
+    main()

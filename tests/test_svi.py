@@ -45,28 +45,27 @@ class TestScalingUnbiasedness:
         num_starts = T - L + 1
         rng = np.random.default_rng(0)
 
-        acc_trans = np.zeros((K, K))
-        acc_n = np.zeros((K,))
+        # All reps' minibatches in ONE batched device call: gather every
+        # window (reps*B, W, D) and mask at once; the accumulated average
+        # is linear, so summing the flat batch / reps is identical to the
+        # per-rep accumulation loop.
         reps = 150
-        for r in range(reps):
-            starts = rng.integers(0, num_starts, size=B)
-            ws = np.clip(starts - b, 0, T - W)
-            offs = starts - ws
-            wins = jnp.stack([chain[s : s + W] for s in ws])
-            pos = np.arange(W)[None, :]
-            maskf = jnp.array(
-                ((pos >= offs[:, None]) & (pos < offs[:, None] + L)).astype(np.float64)
-            )
-            ll = GaussianNIW.expected_log_likelihood(params.emit, wins)
-            fb = jax.vmap(
-                lambda l, w: messages.e_step(log_pi, log_A, l, weights=w)
-            )(ll, maskf)
-            gamma_w = fb.gamma * maskf[..., None]
-            es = emission_flat_stats(GaussianNIW, params.emit, gamma_w, wins)
-            acc_trans += scale_trans * np.array(jnp.sum(fb.trans_stats, 0))
-            acc_n += scale_emit * np.array(es.n)
-        acc_trans /= reps
-        acc_n /= reps
+        starts = rng.integers(0, num_starts, size=reps * B)
+        ws = np.clip(starts - b, 0, T - W)
+        offs = starts - ws
+        wins = jnp.asarray(np.array(chain))[jnp.asarray(ws)[:, None] + jnp.arange(W)]
+        pos = np.arange(W)[None, :]
+        maskf = jnp.array(
+            ((pos >= offs[:, None]) & (pos < offs[:, None] + L)).astype(np.float64)
+        )
+        ll = GaussianNIW.expected_log_likelihood(params.emit, wins)
+        fb = jax.vmap(
+            lambda l, w: messages.e_step(log_pi, log_A, l, weights=w)
+        )(ll, maskf)
+        gamma_w = fb.gamma * maskf[..., None]
+        es = emission_flat_stats(GaussianNIW, params.emit, gamma_w, wins)
+        acc_trans = scale_trans * np.array(jnp.sum(fb.trans_stats, 0)) / reps
+        acc_n = scale_emit * np.array(es.n) / reps
 
         # interior coverage is uniform; edges (first/last L-1 positions) are
         # covered less — compare at 5% tolerance which absorbs that + MC noise
