@@ -44,25 +44,36 @@ def bench_jax(batch=1024, iters=20, method="scan"):
     prior = make_prior(K, GaussianNIW, obs_dim=D)
     params = init_params(jax.random.PRNGKey(1), prior, GaussianNIW, obs)
 
-    def estep_chained(carry, _):
-        # thread a negligible data dependency so iterations serialize
-        stats, _ = batch_local_step(
-            params._replace(init=params.init + carry * 1e-30), GaussianNIW, obs, method
-        )
-        return stats.log_z * 0.0 + carry, stats.log_z
-
     @jax.jit
-    def run_n(n_zero):
-        final, log_zs = lax.scan(estep_chained, n_zero, None, length=iters)
-        return log_zs[-1]
+    def run_n(params_, obs_, n_zero):
+        # obs/params passed as jit ARGUMENTS (closure constants ship to the
+        # compile server and constant-fold pathologically slowly)
+        def estep_chained(carry, _):
+            # thread a negligible data dependency so iterations serialize
+            stats, gamma = batch_local_step(
+                params_._replace(init=params_.init + carry * 1e-30),
+                GaussianNIW,
+                obs_,
+                method,
+            )
+            # consume EVERY output (cheap reductions) so XLA cannot dead-
+            # code-eliminate the backward pass, the pairwise stats, or the
+            # emission stats — this times the full production E-step.
+            tot = stats.log_z + stats.trans.sum() + stats.init.sum()
+            tot = tot + sum(jnp.sum(leaf) for leaf in jax.tree.leaves(stats.emit))
+            tot = tot + gamma[:, 0, :].sum()
+            return tot * 0.0 + carry, tot
+
+        final, tots = lax.scan(estep_chained, n_zero, None, length=iters)
+        return tots[-1]
 
     def sync(x):
         return np.asarray(jax.device_get(x))
 
     zero = jnp.zeros(())
-    sync(run_n(zero))  # compile + warmup
+    sync(run_n(params, obs, zero))  # compile + warmup
     t0 = time.perf_counter()
-    sync(run_n(zero))
+    sync(run_n(params, obs, zero))
     dt = (time.perf_counter() - t0) / iters
     return batch / dt, dt
 
@@ -89,7 +100,7 @@ def bench_oracle(n_seq=2):
 
 
 def main():
-    method = sys.argv[1] if len(sys.argv) > 1 else "scan"
+    method = sys.argv[1] if len(sys.argv) > 1 else "pallas"
     batch = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
     jax_sps, jax_dt = bench_jax(batch=batch, method=method)
     orc_sps, orc_dt = bench_oracle()

@@ -46,28 +46,45 @@ def batch_local_step(
     each scan step is a (B, K) @ (K, K) matmul on the MXU.
     """
     log_pi, log_A = expected_log_params(params)
-    ll = emission.expected_log_likelihood(params.emit, obs)  # (B, T, K)
 
     if method == "pallas":
         if weights is not None:
             raise ValueError("pallas e-step does not support buffer weights yet")
         from ..messages.pallas_fb import pallas_forward_backward_batched
 
-        fb = pallas_forward_backward_batched(log_pi, log_A, ll)
+        # compute the likelihoods TIME-MAJOR (free for the einsum producer)
+        # so no 4*T*B*K-byte transpose feeds the kernel; only the (B, T, D)
+        # observation transpose (D << K) is materialized.
+        ll_tm = emission.expected_log_likelihood(
+            params.emit, jnp.swapaxes(obs, 0, 1)
+        )  # (T, B, K)
+        fb = pallas_forward_backward_batched(
+            log_pi,
+            log_A,
+            ll_tm,
+            time_major=True,
+            # Mosaic requires a TPU; everywhere else run the same kernels
+            # under the pallas interpreter (tests, CPU fallback)
+            interpret=jax.default_backend() != "tpu",
+        )
         gamma_w = fb.gamma
     elif weights is None:
+        ll = emission.expected_log_likelihood(params.emit, obs)  # (B, T, K)
         fb = jax.vmap(lambda l: messages.e_step(log_pi, log_A, l, method=method))(ll)
         gamma_w = fb.gamma
     else:
+        ll = emission.expected_log_likelihood(params.emit, obs)  # (B, T, K)
         fb = jax.vmap(
             lambda l, w: messages.e_step(log_pi, log_A, l, weights=w, method=method)
         )(ll, weights)
         gamma_w = fb.gamma * weights[..., None]
 
     emit_stats = emission_flat_stats(emission, params.emit, gamma_w, obs)
+    # the pallas path returns trans_stats already summed over sequences (K, K)
+    trans = fb.trans_stats if fb.trans_stats.ndim == 2 else jnp.sum(fb.trans_stats, 0)
     stats = LocalStats(
         init=jnp.sum(fb.init_stats, axis=0),
-        trans=jnp.sum(fb.trans_stats, axis=0),
+        trans=trans,
         emit=emit_stats,
         log_z=jnp.sum(fb.log_z),
     )

@@ -1,31 +1,56 @@
-"""Pallas TPU kernel: fused batched forward-backward message passing.
+"""Pallas TPU kernels: fully-fused, lane-packed batched forward-backward.
 
 The TPU-native replacement for the reference's Cython E-step hot loop
-(SURVEY.md §2.3: "the centerpiece"). XLA's `lax.scan` pays ~10 us per-step
-scheduling overhead and re-materializes the carry through HBM every step;
-this kernel keeps the whole batch's (B_TILE, K) message carry in VMEM
-scratch across the time axis, streaming likelihood tiles HBM->VMEM through
-pallas's pipelined BlockSpec machinery, each step one fused
-(B_TILE, K) @ (K, K) MXU matmul + VPU rescale.
+(SURVEY.md §2.3: "the centerpiece"). XLA's `lax.scan` pays per-step
+scheduling overhead and round-trips every intermediate through HBM; at
+K=64/T=1k the whole E-step is bound by HBM traffic and by the *latency* of
+the sequential recursion, so the kernel design attacks both.
 
-Performance-critical layout decisions (measured on v5e):
-  * Arrays are TIME-MAJOR inside the kernel — (T, B, K) — so a time step is
-    a leading-axis slice (contiguous (B, K) tile), not a strided mid-axis
-    gather.
-  * The batch tile is as LARGE as VMEM allows (up to 1024 rows): grid cells
-    run sequentially on the TensorCore, so batch tiling multiplies the
-    sequential step count — the first version tiled batch by 128 and ran 16x
-    more dependent steps than necessary.
-  * Time tiles are small (multiples of 8 sublanes) purely to pipeline HBM
-    traffic; the carry crosses tiles in VMEM scratch.
-  * The step-0 special case (alpha_0 = pi * lik_0) is hoisted out of the
-    inner loop as a `pl.when` prologue — no per-step `lax.cond`.
+DRAM traffic — everything is fused into two kernels:
+  * Forward kernel: streams likelihood tiles HBM->VMEM, carries the
+    (ROWS, P*K) alpha messages in VMEM scratch across time tiles, and emits
+    ONLY the (raw) alpha array. Per-sequence scales are recovered OUTSIDE
+    by one XLA segmented reduce over alpha (no `u = alpha @ A` einsum, no
+    in-kernel per-sequence bookkeeping).
+  * Backward kernel: re-reads lik + alpha tiles and, per time step, fuses
+    the beta recursion with (a) the smoothed marginal gamma_t, written out
+    directly, and (b) the summed pairwise-marginal accumulation for the
+    transition stats — one MXU matmul into a VMEM-resident accumulator that
+    only hits HBM once at the end. beta, lik*beta and the xi normalizers
+    never exist in HBM.
+  Total HBM traffic is lik(2R) + alpha(W+2R) + gamma(W): ~6 T*B*K floats,
+  vs ~3-4x that for an unfused kernel + XLA einsum post-processing.
 
-The kernels produce normalized alpha, beta; smoothed marginals, per-step
-scaling constants and summed pairwise stats are then batched XLA matmuls
-(the factorized xi-sum trick in scan_fb.forward_backward) which XLA maps to
-the MXU optimally — Pallas is used exactly where XLA is weak (the
-sequential recursion).
+Sequential-chain latency — measured on v5e, a dependent (ROWS, W) @ (W, W)
+recursion costs ~(fixed + c*ROWS) per step for any W <= 128 (the MXU is
+128 wide; a K=64 operand wastes half the array in both dimensions), and no
+reduction may sit on the critical path:
+  * LANE PACKING: P = 128/K sequences are packed side by side into one
+    128-lane row with the block-diagonal transition matrix kron(I_P, A~) —
+    for K=64 this HALVES the row count (the latency driver) at identical
+    math (the off-diagonal blocks are exactly zero).
+  * The forward runs UNNORMALIZED, renormalizing by the FULL-ROW sum only
+    every RENORM=4 steps (a broadcast-multiply whose operand, the previous
+    step's sum, is computed off the critical path). Stored alpha_t is
+    alpha_hat_t * h_t with h_t the per-sequence accumulated scale; the
+    f32 range is safe (|log h| <= 4 |log c| + log P).
+  * The backward carries beta'_t = beta_hat_t / h_t, where beta_hat is the
+    Rabiner-scaled message (normalized by the forward scaling constants).
+    Three identities make every per-step scale correction vanish:
+      - gamma_t = alpha_raw_t * beta'_t EXACTLY (h_t cancels; the product
+        is the normalized smoothed marginal) — gamma is a pure mul;
+      - the xi-sum contribution is alpha_raw_{t-1}^T @ d_t with
+        d_t = lik_t * beta'_t exactly, EXCEPT at renorm steps where d
+        picks up the scalar full-row factor 1/q the forward divided out —
+        replayed as one per-row scalar multiply every RENORM steps;
+      - the chain step is beta'_{t-1} = d_t @ A~^T — mul -> matmul, with
+        NO reduce and NO lane crossing on the critical path.
+    The renorm replay factors (T/RENORM, ROWS) and the tiny beta' seed
+    rs_{T-1} are (T, B)-elementwise quantities computed between the two
+    kernels by XLA from the segmented alpha sums (~8 MB, negligible).
+
+The pallas path returns trans_stats ALREADY SUMMED over sequences, shape
+(K, K) — exactly what the engines' global updates consume.
 
 All kernels run under `interpret=True` on CPU for exact-agreement tests.
 """
@@ -42,207 +67,299 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .scan_fb import FBResult, _normalize_loglik
 
+RENORM = 4  # forward full-row renormalization period
+LANES = 128  # MXU/VPU lane width
 
-def _fwd_kernel(pi_ref, A_ref, lik_ref, alpha_ref, carry, *, C):
-    """One time-tile of the forward recursion, whole batch tile at once.
 
-    pi_ref:   (1, K)            pi~
-    A_ref:    (K, K)            A~ = exp(E[log A])
-    lik_ref:  (C, B_TILE, K)    max-normalized likelihoods, time-major
-    alpha_ref:(C, B_TILE, K)    out: normalized forward messages
-    carry:    (B_TILE, K)       VMEM scratch persisting across time tiles
+def _fwd_kernel(pi_ref, A_ref, lik_ref, alpha_ref, carry, *, C, m):
+    """One time-tile of the forward recursion, whole row tile at once.
+
+    pi_ref:   (1, PK)           pi~ tiled P times
+    A_ref:    (PK, PK)          kron(I_P, A~)
+    lik_ref:  (C, R, PK)        max-normalized likelihoods, time-major packed
+    alpha_ref:(C, R, PK)        out: RAW forward messages alpha_hat_t * h_t
+    carry:    (R, PK)           VMEM scratch persisting across time tiles
+                                (row-renormalized at tile boundaries)
+    m: renorm period; C % m == 0 so tile boundaries are renorm boundaries.
     """
     j = pl.program_id(1)
 
-    def advance(a_prev, lik_t):
-        a = jnp.dot(a_prev, A_ref[:, :], preferred_element_type=jnp.float32) * lik_t
-        return a / jnp.sum(a, axis=-1, keepdims=True)
+    def raw_step(a_prev, lik_t):
+        return jnp.dot(a_prev, A_ref[:, :], preferred_element_type=jnp.float32) * lik_t
+
+    # p = 0: alpha_0 = pi~ * lik_0 on the first tile, else one step off the
+    # renormalized carry; both arms are cheap and the select is branch-free.
+    a = jnp.where(
+        j == 0,
+        pi_ref[0, :][None, :] * lik_ref[0],
+        raw_step(carry[:, :], lik_ref[0]),
+    )
+    alpha_ref[0] = a
+    q = jnp.sum(a, axis=-1, keepdims=True)  # full-row sum, off the chain
+    for p in range(1, C):
+        if p % m == 0:
+            a = a / q  # renorm boundary; q is the PREVIOUS step's sum
+        a = raw_step(a, lik_ref[p])
+        alpha_ref[p] = a
+        q = jnp.sum(a, axis=-1, keepdims=True)
+    carry[:, :] = a / q
+
+
+def _bwd_kernel(
+    A_ref, lik_ref, alpha_ref, v_ref, seed_ref, gamma_ref, acc_ref,
+    bcarry, dcarry, *, C, m
+):
+    """Reverse-time tile fusing beta recursion + gamma + summed pair stats.
+
+    v_ref:    (C // m, R)  full-row renorm replay factors 1/q for the renorm
+                           steps inside this tile (step c = k*m uses v[k])
+    seed_ref: (R, PK)      beta' seed at t = T-1: 1/h_{T-1} per sequence,
+                           broadcast to lanes (computed outside, tiny)
+
+    Walks t = C-1 .. 0 within the tile (tiles arrive in reverse time order);
+    bcarry holds beta'_t entering each step, dcarry hands d_t = lik_t *
+    beta'_t (with its renorm replay applied) across the tile boundary so the
+    (alpha_{t-1}, d_t) pairing never crosses a DMA block. acc_ref is a
+    (PK, PK) output block revisited by every grid cell: it stays resident in
+    VMEM for the whole sweep, accumulating sum outer(alpha_raw, d); only its
+    P diagonal K x K blocks are meaningful (the caller discards the rest
+    against the exact zeros of kron(I_P, A~)).
+    """
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when((i == 0) & (j == 0))
+    def _():
+        acc_ref[:, :] = jnp.zeros_like(acc_ref)
 
     @pl.when(j == 0)
     def _():
-        a0 = pi_ref[0, :][None, :] * lik_ref[0]
-        a0 = a0 / jnp.sum(a0, axis=-1, keepdims=True)
-        alpha_ref[0] = a0
-        carry[:, :] = a0
+        bcarry[:, :] = seed_ref[:, :]
 
-    @pl.when(j != 0)
-    def _():
-        a = advance(carry[:, :], lik_ref[0])
-        alpha_ref[0] = a
-        carry[:, :] = a
+    def outer_acc(a, d):
+        # sum_r outer(a[r], d[r]) as a dim-0 contraction: no transposed
+        # operand is ever materialized (MXU feeds it natively)
+        return lax.dot_general(
+            a, d, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
 
-    if C <= 32:
-        # static unroll: fixed indices lower to aligned vector stores and the
-        # whole tile schedules as straight-line MXU/VPU code
-        for c in range(1, C):
-            a = advance(carry[:, :], lik_ref[c])
-            alpha_ref[c] = a
-            carry[:, :] = a
-    else:
-        def step(c, _):
-            a = advance(carry[:, :], lik_ref[c])
-            alpha_ref[c] = a
-            carry[:, :] = a
-            return _
-
-        lax.fori_loop(1, C, step, 0)
-
-
-def _bwd_kernel(A_ref, likshift_ref, beta_ref, carry, *, C):
-    """Reverse-time tile: beta_t ∝ (lik_{t+1} * beta_{t+1}) @ A~^T, normalized.
-
-    likshift[t] = lik[t+1] (ones at t = T-1) so each position only touches
-    its own tile. Tiles arrive in reverse time order; within a tile we walk
-    c = C-1 .. 0; carry holds beta_{t+1}.
-    """
-    j = pl.program_id(1)
-
-    def advance(b_next, likshift_t):
-        b = jnp.dot(
-            b_next * likshift_t,
-            A_ref[:, :].T,
+    def chain_step(d):
+        # d @ A^T as a dim-1/dim-1 contraction: no transpose materialized
+        return lax.dot_general(
+            d, A_ref[:, :], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        return b / jnp.sum(b, axis=-1, keepdims=True)
-
-    @pl.when(j == 0)
-    def _():
-        ones = jnp.ones_like(carry[:, :])
-        beta_ref[C - 1] = ones
-        carry[:, :] = ones
 
     @pl.when(j != 0)
     def _():
-        b = advance(carry[:, :], likshift_ref[C - 1])
-        beta_ref[C - 1] = b
-        carry[:, :] = b
+        # pairing deferred from the previous (later-in-time) tile
+        acc_ref[:, :] += outer_acc(alpha_ref[C - 1], dcarry[:, :])
 
-    if C <= 32:
-        for c in range(C - 2, -1, -1):
-            b = advance(carry[:, :], likshift_ref[c])
-            beta_ref[c] = b
-            carry[:, :] = b
-    else:
-        def step(i, _):
-            c = C - 2 - i
-            b = advance(carry[:, :], likshift_ref[c])
-            beta_ref[c] = b
-            carry[:, :] = b
-            return _
-
-        lax.fori_loop(0, C - 1, step, 0)
+    beta = bcarry[:, :]
+    for c in range(C - 1, -1, -1):
+        gamma_ref[c] = alpha_ref[c] * beta
+        d = lik_ref[c] * beta
+        if c % m == 0:
+            # replay the forward's full-row renorm (scalar per row)
+            d = d * v_ref[0, c // m][:, None]
+        if c > 0:
+            acc_ref[:, :] += outer_acc(alpha_ref[c - 1], d)
+        else:
+            dcarry[:, :] = d
+        beta = chain_step(d)
+    bcarry[:, :] = beta
 
 
-def _choose_tiles(B: int, T: int, K: int):
-    """(batch_tile, time_tile): batch tile as large as VMEM affords (grid
-    cells serialize, so batch tiling multiplies sequential depth); time tile
-    a multiple of 8 (sublane rule) just big enough to pipeline DMA."""
-    # Mosaic multi-buffers each streamed block (~4 copies in flight between
-    # the fwd's lik-in + alpha-out); cap one block at ~1 MB to stay under the
-    # 16 MB scoped-VMEM limit with headroom, while keeping tile_b maximal.
-    block_budget = (1024 * 1024) // (K * 4)  # elems per (C, tile_b) block
+def _choose_packing(B: int, K: int) -> int:
+    """Sequences per 128-lane row: chain latency scales with ROWS, so pack
+    as many K-lane sequences side by side as divide both 128 and B."""
+    P = LANES // K if K <= LANES // 2 and LANES % K == 0 else 1
+    while P > 1 and B % P:
+        P //= 2
+    return max(P, 1)
 
-    def time_tile(tb):
-        cap = 8 * (block_budget // tb // 8)
-        for cand in range(min(cap, T - T % 8), 0, -8):
+
+def _choose_tiles(R: int, T: int, PK: int):
+    """(row_tile, time_tile): row tile as large as VMEM affords (grid cells
+    serialize, so row tiling multiplies sequential depth); time tile a
+    multiple of 8 (sublane rule) just big enough to pipeline DMA."""
+    # The bwd cell keeps lik + alpha in, gamma out, plus carries and the
+    # accumulator resident; with the raised scoped-VMEM budget a ~2 MB
+    # block is safe and keeps the grid-cell count low.
+    block_budget = (2 * 1024 * 1024) // (PK * 4)  # elems per (C, tile_r) block
+
+    def time_tile(tr):
+        cap = 8 * (block_budget // tr // 8)
+        for cand in range(min(cap, T - T % 8, 32), 0, -8):
             if T % cand == 0:
                 return cand
         return 0
 
-    tile_b = min(B, 1024)
-    while B % tile_b:
-        tile_b //= 2
-    tile_b = max(tile_b, 1)
-    C = time_tile(tile_b)
-    while C == 0 and tile_b > 1:
-        tile_b //= 2
-        C = time_tile(tile_b)
+    tile_r = min(R, 1024)
+    while R % tile_r:
+        tile_r //= 2
+    tile_r = max(tile_r, 1)
+    C = time_tile(tile_r)
+    while C == 0 and tile_r > 1:
+        tile_r //= 2
+        C = time_tile(tile_r)
     if C == 0:
         # tiny T with no multiple-of-8 divisor: whole time axis in one block
-        while tile_b > 1 and 4 * tile_b * T * K * 4 > 10 * 1024 * 1024:
-            tile_b //= 2
+        while tile_r > 1 and 4 * tile_r * T * PK * 4 > 10 * 1024 * 1024:
+            tile_r //= 2
         C = T
-    return tile_b, C
+    return tile_r, C
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "tiles"))
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "tiles", "time_major")
+)
 def pallas_forward_backward_batched(
     log_pi: jax.Array,
     log_A: jax.Array,
-    log_lik: jax.Array,  # (B, T, K)
+    log_lik: jax.Array,  # (B, T, K), or (T, B, K) when time_major=True
     interpret: bool = False,
     tiles: tuple[int, int] | None = None,
+    time_major: bool = False,
 ) -> FBResult:
-    """Batched fused FB. Returns FBResult with leading batch axis on gamma /
-    log_z / stats (stats NOT summed over batch; log_c is (B, T)).
+    """Batched fully-fused FB.
 
-    tiles: optional (batch_tile, time_tile) override of _choose_tiles for
-    autotuning; both must divide (B, T) respectively."""
-    B, T, K = log_lik.shape
+    Returns FBResult with leading batch axis on gamma / log_z / init_stats /
+    log_c, but trans_stats SUMMED over the batch, shape (K, K) — the form
+    every engine's global update consumes (sum over sequences).
+
+    tiles: optional (row_tile, time_tile) override of _choose_tiles for
+    autotuning (rows = B / P packed rows); both must divide (B/P, T), and
+    time_tile <= 32 (the kernels unroll it statically).
+
+    time_major=True avoids the 4*T*B*K-byte transpose feeding the kernel:
+    pass the likelihoods already as (T, B, K) (the emission producer can
+    emit that layout for free — batch_local_step does).
+    """
+    if time_major:
+        T, B, K = log_lik.shape
+        lik_tm, shifts_tm = _normalize_loglik(log_lik.astype(jnp.float32))
+        shifts = jnp.swapaxes(shifts_tm, 0, 1)  # (B, T), small
+    else:
+        B, T, K = log_lik.shape
+        lik_btk, shifts = _normalize_loglik(log_lik.astype(jnp.float32))
+        lik_tm = jnp.swapaxes(lik_btk, 0, 1)
     A_tilde = jnp.exp(log_A).astype(jnp.float32)
-    lik_btk, shifts = _normalize_loglik(log_lik.astype(jnp.float32))
-    pi_tilde = jnp.exp(log_pi).astype(jnp.float32)[None, :]  # (1, K)
+    pi_tilde = jnp.exp(log_pi).astype(jnp.float32)
 
-    lik = jnp.swapaxes(lik_btk, 0, 1)  # (T, B, K) time-major for the kernels
-    tile_b, C = tiles if tiles is not None else _choose_tiles(B, T, K)
-    nB, nT = B // tile_b, T // C
+    P = _choose_packing(B, K)
+    PK = P * K
+    R = B // P
+
+    A_blk = jnp.kron(jnp.eye(P, dtype=jnp.float32), A_tilde)  # (PK, PK)
+    pi_blk = jnp.tile(pi_tilde, (P,))[None, :]  # (1, PK)
+
+    # (T, R, PK) time-major packed: row r carries sequences r*P .. r*P+P-1
+    lik = lik_tm.reshape(T, R, PK)
+
+    tile_r, C = tiles if tiles is not None else _choose_tiles(R, T, PK)
+    if R % tile_r or T % C:
+        raise ValueError(f"tiles {(tile_r, C)} must divide (R={R}, T={T})")
+    nR, nT = R // tile_r, T // C
+    m = RENORM if C % RENORM == 0 else 1
+
+    # Mosaic's default scoped-VMEM budget rejects the largest row tiles;
+    # raise it so grid-cell count (sequential on the TensorCore) stays low.
+    compiler_params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
     alpha_t = pl.pallas_call(
-        functools.partial(_fwd_kernel, C=C),
-        grid=(nB, nT),
+        functools.partial(_fwd_kernel, C=C, m=m),
+        grid=(nR, nT),
         in_specs=[
-            pl.BlockSpec((1, K), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((K, K), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, tile_b, K), lambda i, j: (j, i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (C, tile_b, K), lambda i, j: (j, i, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((T, B, K), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((tile_b, K), jnp.float32)],
-        interpret=interpret,
-    )(pi_tilde, A_tilde, lik)
-
-    lik_shift = jnp.concatenate(
-        [lik[1:], jnp.ones((1, B, K), jnp.float32)], axis=0
-    )
-    beta_t = pl.pallas_call(
-        functools.partial(_bwd_kernel, C=C),
-        grid=(nB, nT),
-        in_specs=[
-            pl.BlockSpec((K, K), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, PK), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((PK, PK), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (C, tile_b, K),
-                lambda i, j, nT=nT: (nT - 1 - j, i, 0),
-                memory_space=pltpu.VMEM,
+                (C, tile_r, PK), lambda i, j: (j, i, 0), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=pl.BlockSpec(
-            (C, tile_b, K),
-            lambda i, j, nT=nT: (nT - 1 - j, i, 0),
-            memory_space=pltpu.VMEM,
+            (C, tile_r, PK), lambda i, j: (j, i, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((T, B, K), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((tile_b, K), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((T, R, PK), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((tile_r, PK), jnp.float32)],
+        compiler_params=None if interpret else compiler_params,
         interpret=interpret,
-    )(A_tilde, lik_shift)
+    )(pi_blk, A_blk, lik)
 
-    # Everything below is parallel XLA matmul work in the time-major layout.
-    # u[t] = alpha_t @ A~ feeds both log_c and the xi normalizers.
-    u = jnp.einsum("tbk,kj->tbj", alpha_t[:-1], A_tilde)
-    c_rest = jnp.einsum("tbk,tbk->tb", u, lik[1:])
-    c0 = jnp.einsum("k,bk->b", pi_tilde[0], lik[0])
-    log_c = jnp.concatenate([jnp.log(c0)[None, :], jnp.log(c_rest)], axis=0)
-    log_c = jnp.swapaxes(log_c, 0, 1) + shifts  # (B, T)
+    # --- scale bookkeeping, all elementwise/XLA between the kernels ---
+    # Per-sequence stored scales h_t: one segmented reduce over raw alpha.
+    s_out = jnp.sum(alpha_t.reshape(T, R, P, K), axis=-1)  # (T, R, P) = h_t
+    q = jnp.sum(s_out, axis=-1)  # (T, R) full-row sums (renorm divisors)
+    log_s = jnp.log(s_out.reshape(T, B))
+    # log c_t = log h_t - log h_{t-1} + [renorm between t-1,t] log q_{t-1};
+    # renorms happen between t-1 and t for t = k*m, k >= 1.
+    log_q_rows = jnp.log(q)  # (T, R)
+    log_q_seq = jnp.repeat(log_q_rows, P, axis=-1)  # (T, B)
+    steps = jnp.arange(T)
+    corr = jnp.where((steps % m == 0) & (steps > 0), 1.0, 0.0)[:, None]
+    prev = jnp.concatenate([jnp.zeros((1, B), jnp.float32), log_s[:-1]], axis=0)
+    prev_q = jnp.concatenate(
+        [jnp.zeros((1, B), jnp.float32), log_q_seq[:-1]], axis=0
+    )
+    log_c_t = log_s - prev + corr * prev_q  # (T, B)
+
+    # Backward inputs: renorm replay factors per tile (v[k] = 1/q at step
+    # k*m - 1, i.e. the sum the forward divided by entering step k*m; for
+    # t = 0 the value is unused) and the beta' seed 1/h_{T-1}.
+    q_prev = jnp.concatenate([jnp.ones((1, R), jnp.float32), q[:-1]], axis=0)
+    # (nT, C//m, R): leading dim grid-indexed so the block's trailing dims
+    # can equal the array dims (Mosaic tiling constraint for C//m < 8)
+    v = (1.0 / q_prev[::m]).reshape(nT, C // m, R)
+    seed = jnp.repeat(1.0 / s_out[T - 1], K, axis=-1).reshape(R, PK)
+
+    gamma_t, acc = pl.pallas_call(
+        functools.partial(_bwd_kernel, C=C, m=m),
+        grid=(nR, nT),
+        in_specs=[
+            pl.BlockSpec((PK, PK), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (C, tile_r, PK),
+                lambda i, j, nT=nT: (nT - 1 - j, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (C, tile_r, PK),
+                lambda i, j, nT=nT: (nT - 1 - j, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, C // m, tile_r),
+                lambda i, j, nT=nT: (nT - 1 - j, 0, i),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((tile_r, PK), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (C, tile_r, PK),
+                lambda i, j, nT=nT: (nT - 1 - j, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((PK, PK), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, R, PK), jnp.float32),
+            jax.ShapeDtypeStruct((PK, PK), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((tile_r, PK), jnp.float32),
+            pltpu.VMEM((tile_r, PK), jnp.float32),
+        ],
+        compiler_params=None if interpret else compiler_params,
+        interpret=interpret,
+    )(A_blk, lik, alpha_t, v, seed)
+
+    log_c = jnp.swapaxes(log_c_t, 0, 1) + shifts  # (B, T)
     log_z = jnp.sum(log_c, axis=-1)
-
-    g = alpha_t * beta_t
-    gamma = jnp.swapaxes(g / jnp.sum(g, axis=-1, keepdims=True), 0, 1)
-
-    bl = lik[1:] * beta_t[1:]
-    n = jnp.einsum("tbk,tbk->tb", u, bl)
-    alpha_w = alpha_t[:-1] / n[..., None]
-    trans_stats = A_tilde[None] * jnp.einsum("tbk,tbj->bkj", alpha_w, bl)
+    gamma = jnp.swapaxes(gamma_t.reshape(T, B, K), 0, 1)
+    # sum the P diagonal K x K blocks of the packed accumulator
+    acc_kk = sum(acc[p * K : (p + 1) * K, p * K : (p + 1) * K] for p in range(P))
+    trans_stats = A_tilde * acc_kk  # (K, K), summed over batch and time
 
     return FBResult(
         gamma=gamma,

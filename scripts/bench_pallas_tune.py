@@ -42,9 +42,22 @@ def main():
     iters = 20
 
     def timed(fb_fn, label):
+        def consume(fb):
+            if os.environ.get("FWD_ONLY"):
+                # deliberately let XLA DCE the backward kernel
+                return fb.log_z.sum()
+            # touch EVERY output so XLA cannot dead-code-eliminate the
+            # backward pass / stats (cheap reductions only)
+            tot = fb.log_z.sum() + fb.trans_stats.sum() + fb.init_stats.sum()
+            tot = tot + fb.gamma[:, 0, :].sum() + fb.gamma[:, -1, :].sum()
+            if fb.log_c is not None:
+                tot = tot + fb.log_c.sum()
+            return tot
+
         def chained(carry, _):
             fb = fb_fn(lp, lA, ll + carry * 1e-30)
-            return carry + fb.log_z.sum() * 0.0, fb.log_z.sum()
+            tot = consume(fb)
+            return carry + tot * 0.0, tot
 
         @jax.jit
         def run(z):
@@ -67,7 +80,10 @@ def main():
     def scan_fb(lp_, lA_, ll_):
         return jax.vmap(lambda l: messages.e_step(lp_, lA_, l, method="scan"))(ll_)
 
-    timed(scan_fb, "scan")
+    import os
+
+    if not os.environ.get("SKIP_SCAN"):
+        timed(scan_fb, "scan")
     for tiles in cands:
         label = f"pallas {tiles}" if tiles else "pallas auto"
         try:
