@@ -30,6 +30,13 @@ K, D, T = 64, 8, 1000
 
 
 def bench_jax(batch=1024, iters=20, method="scan"):
+    import os
+
+    # persistent compile cache: Mosaic/XLA compiles through the axon relay
+    # take minutes; warm runs (same shapes) start in seconds
+    os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR", os.path.join(os.path.dirname(__file__), ".jax_cache")
+    )
     import jax
     import jax.numpy as jnp
     from jax import lax
