@@ -163,11 +163,18 @@ class SVIHMM(_HMMBase):
 
     def __init__(
         self, obs, K, *, batch_size: int = 32, subchain_len: int = 50,
-        buffer: int = 10, tau: float = 1.0, kappa: float = 0.6, **kw,
+        buffer: int | str = 10, tau: float = 1.0, kappa: float = 0.6, **kw,
     ):
         super().__init__(obs, K, **kw)
         if self.obs.shape[0] != 1:
             raise ValueError("SVIHMM expects a single long chain; use MinibatchSVIHMM for sequence collections")
+        if buffer == "auto":
+            # paper §3.2 adaptive buffering: doubling test at the current
+            # (initial) variational params
+            buffer = svi.select_buffer(
+                self.params, self.obs[0], self.emission, subchain_len,
+                jax.random.PRNGKey(0),
+            )
         self.cfg = svi.SVIConfig(
             batch_size=batch_size, subchain_len=subchain_len, buffer=buffer,
             tau=tau, kappa=kappa,

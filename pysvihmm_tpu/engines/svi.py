@@ -230,6 +230,55 @@ def fit_minibatch(
     return final, metrics
 
 
+def select_buffer(
+    params: HMMParams,
+    chain: jax.Array,
+    emission,
+    subchain_len: int,
+    key: jax.Array,
+    tol: float = 1e-3,
+    b_init: int = 1,
+    b_max: int | None = None,
+    probes: int = 8,
+) -> int:
+    """Adaptive buffer-length selection (Foti et al. 2014 §3.2).
+
+    The paper proves the error of buffered subchain marginals decays
+    geometrically in the buffer length b and proposes choosing b adaptively.
+    This implements the doubling test: starting from ``b_init``, compare the
+    kept-region marginals computed with buffer b against buffer 2b on
+    ``probes`` random subchains; if they agree to ``tol`` (max-abs over
+    gamma), b is sufficient — else double and repeat. Host-level utility
+    (one jit per candidate b); run once against the current variational
+    params before (or periodically during) training.
+    """
+    T = chain.shape[0]
+    L = subchain_len
+    if b_max is None:
+        b_max = max(1, min(L, (T - L) // 4, 64))
+    log_pi, log_A = expected_log_params(params)
+
+    b = max(1, b_init)
+    while True:
+        b2 = 2 * b
+        W2 = L + 2 * b2
+        if b2 > b_max or W2 > T:
+            return min(b, b_max)
+        key, k = jax.random.split(key)
+        starts = jax.random.randint(k, (probes,), 0, T - W2 + 1)
+        wins = _gather_windows(chain, starts, W2)  # (probes, W2, ...)
+        ll2 = emission.expected_log_likelihood(params.emit, wins)
+        fb2 = jax.vmap(lambda l: messages.e_step(log_pi, log_A, l))(ll2)
+        ll1 = ll2[:, b2 - b : b2 - b + L + 2 * b]
+        fb1 = jax.vmap(lambda l: messages.e_step(log_pi, log_A, l))(ll1)
+        g2 = fb2.gamma[:, b2 : b2 + L]
+        g1 = fb1.gamma[:, b : b + L]
+        err = float(jnp.max(jnp.abs(g1 - g2)))
+        if err < tol:
+            return b
+        b = b2
+
+
 def make_minibatch_step(emission, cfg: SVIConfig, num_seqs: int, method: str = "scan"):
     """SVI over minibatches of whole sequences from a (N, T, ...) dataset.
 

@@ -133,6 +133,38 @@ class TestSVIConvergence:
         assert np.mean(ne[-50:]) > np.mean(ne[:20])
 
 
+class TestAdaptiveBuffer:
+    def test_select_buffer_doubling(self):
+        """Paper §3.2 doubling test: fast-mixing chains need small buffers;
+        a tighter tolerance can only grow the chosen b."""
+        K, D, T = 4, 2, 2000
+        obs, _, _ = gen_gaussian_dataset(
+            jax.random.PRNGKey(20), K, D, 1, T, mean_scale=6.0, cov_scale=0.3
+        )
+        chain = obs[0]
+        prior = make_prior(K, GaussianNIW, obs_dim=D)
+        params = init_params(jax.random.PRNGKey(21), prior, GaussianNIW, chain)
+
+        b_loose = svi.select_buffer(
+            params, chain, GaussianNIW, 50, jax.random.PRNGKey(22), tol=1e-2
+        )
+        b_tight = svi.select_buffer(
+            params, chain, GaussianNIW, 50, jax.random.PRNGKey(22), tol=1e-6
+        )
+        assert 1 <= b_loose <= 64
+        assert b_tight >= b_loose
+
+    def test_compat_auto_buffer(self):
+        from pysvihmm_tpu.compat import SVIHMM
+
+        K, D, T = 3, 2, 1500
+        obs, _, _ = gen_gaussian_dataset(
+            jax.random.PRNGKey(23), K, D, 1, T, mean_scale=6.0, cov_scale=0.3
+        )
+        m = SVIHMM(obs, K=K, buffer="auto", subchain_len=40)
+        assert isinstance(m.cfg.buffer, int) and m.cfg.buffer >= 1
+
+
 class TestMetaObs:
     def test_block_svi_convergence(self):
         K, D, T = 4, 2, 3000
