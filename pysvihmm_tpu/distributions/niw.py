@@ -129,11 +129,27 @@ def expected_log_likelihood(q: NIW, y: jax.Array) -> jax.Array:
     0.5 * sum_d (y @ P_k)_d * y_d via one batched matmul.
     """
     p = ell_params(q)
-    # y: (T..., D); P: (K, D, D) -> yP: (T..., K, D)
-    yP = jnp.einsum("...d,kde->...ke", y, p.P)
-    quad = jnp.einsum("...kd,...d->...k", yP, y)
+    D = y.shape[-1]
+    # Quadratic form via y (x) y features: a (..., D^2) @ (D^2, K) matmul.
+    # The naive "...d,kde->...ke" einsum materializes a (..., K, D)
+    # intermediate — K/D times the data — which at B*T=1M costs more HBM
+    # than the entire forward-backward; the feature matmul keeps the
+    # intermediate at D^2 floats/obs and runs on the MXU.
+    yy = _pair_features(y)
+    quad = jnp.einsum("...f,kf->...k", yy, p.P.reshape(p.P.shape[0], D * D))
     lin = jnp.einsum("...d,kd->...k", y, p.h)
     return p.const - 0.5 * quad + lin
+
+
+def _pair_features(y: jax.Array) -> jax.Array:
+    """(..., D) -> (..., D*D) pairwise products y_d * y_e, f = d*D + e.
+
+    Built by lane concatenation of D broadcast-multiplies — NEVER through a
+    (..., D, D) intermediate: trailing dims < 128 pad to a full 128-lane
+    tile on TPU, so a (N, 8, 8) array occupies 16x its logical bytes.
+    """
+    D = y.shape[-1]
+    return jnp.concatenate([y[..., d : d + 1] * y for d in range(D)], axis=-1)
 
 
 def suff_stats(gamma: jax.Array, y: jax.Array) -> GaussianStats:
@@ -144,7 +160,12 @@ def suff_stats(gamma: jax.Array, y: jax.Array) -> GaussianStats:
     """
     n = jnp.sum(gamma, axis=-2)
     sum_y = jnp.einsum("...tk,...td->...kd", gamma, y)
-    sum_yyT = jnp.einsum("...tk,...td,...te->...kde", gamma, y, y)
+    # (K, T) @ (T, D^2) MXU matmul over y (x) y features — the triple
+    # einsum's (T, K, D) / (T, D, D) intermediates are K/D times the data
+    D = y.shape[-1]
+    sum_yyT = jnp.einsum("...tk,...tf->...kf", gamma, _pair_features(y)).reshape(
+        *n.shape, D, D
+    )
     return GaussianStats(n=n, sum_y=sum_y, sum_yyT=sum_yyT)
 
 

@@ -97,3 +97,29 @@ class TestGibbsHMM:
         from pysvihmm_tpu.eval.metrics import hamming_error
 
         assert hamming_error(m.decode(), z_true, 3) < 0.05
+
+
+class TestReferenceAccessors:
+    def test_full_local_update_and_pred_logprob(self, gauss_data):
+        obs, _ = gauss_data
+        train, held = obs[:6], obs[6:]
+        m = VBHMM(train, K=3).infer(maxit=30)
+        gamma = m.full_local_update()
+        assert gamma.shape == train.shape[:2] + (3,)
+        np.testing.assert_allclose(gamma.sum(-1), 1.0, atol=1e-4)
+        lp = m.pred_logprob(held)
+        assert np.isfinite(lp) and lp < 0
+        # exact posterior-predictive scoring path (Student-t)
+        from pysvihmm_tpu.engines.base import predictive_log_likelihood
+
+        lp_exact = float(
+            predictive_log_likelihood(m.params, m.emission, np.asarray(held), exact=True)
+        )
+        assert np.isfinite(lp_exact)
+
+    def test_var_emit_exposes_niw(self, gauss_data):
+        obs, _ = gauss_data
+        m = VBHMM(obs, K=3).infer(maxit=5)
+        ve = m.var_emit
+        # per-state emission posteriors as a leading-K NIW pytree
+        assert ve.mean.shape == (3, 2) and ve.psi.shape == (3, 2, 2)

@@ -126,3 +126,34 @@ class TestDPMetaObs:
         zs = decode(state.params, GaussianNIW, chain[None])
         err = hamming_error(np.array(zs), np.array(z_true), K)
         assert err < 0.05, f"hamming {err}"
+
+
+class TestShardedLoader:
+    def test_loader_single_process_epoch(self, cpu_devices):
+        """ShardedSequenceLoader yields globally-sharded minibatches that
+        tile the local shard exactly once per epoch (single-process case)."""
+        import numpy as np
+        from pysvihmm_tpu.data.loader import ShardedSequenceLoader, process_shard_bounds
+        from pysvihmm_tpu.parallel import make_mesh
+
+        mesh = make_mesh(8, devices=cpu_devices)
+        corpus = np.arange(64 * 6, dtype=np.float32).reshape(64, 3, 2)
+        loader = ShardedSequenceLoader(
+            lambda s, e: corpus[s:e], total=64, mesh=mesh, batch_per_host=16
+        )
+        seen = []
+        for batch in loader:
+            assert batch.shape == (16, 3, 2)
+            assert batch.sharding.spec == loader.sharding.spec
+            seen.append(np.asarray(batch))
+        assert len(seen) == 4
+        got = np.sort(np.concatenate(seen).reshape(64, -1)[:, 0])
+        np.testing.assert_array_equal(got, np.sort(corpus.reshape(64, -1)[:, 0]))
+
+    def test_shard_bounds_cover(self):
+        from pysvihmm_tpu.data.loader import process_shard_bounds
+
+        spans = [process_shard_bounds(103, 4, p) for p in range(4)]
+        assert spans[0][0] == 0 and spans[-1][1] == 103
+        for (a, b), (c, d) in zip(spans, spans[1:]):
+            assert b == c and b > a
