@@ -132,7 +132,16 @@ def make_dp_minibatch_svi_step(emission, cfg, num_seqs: int, mesh: Mesh,
             out_specs=P(),
         )(params, prior, obs, k_step, state.step)
 
-        rho = power_schedule(state.step.astype(params.init.dtype), cfg.tau, cfg.kappa)
+        # rho: power schedule, or the elastic adaptive rule (replicated
+        # arithmetic on the psum'd stats -> identical on every device)
+        from ..engines.svi import _resolve_rho
+
+        target = HMMParams(
+            init=dirichlet.posterior(prior.init, scale * stats.init),
+            trans=dirichlet.posterior(prior.trans, scale * stats.trans),
+            emit=emission.nat_grad_step(params.emit, prior.emit, stats.emit, scale, 1.0),
+        )
+        rho, new_adapt = _resolve_rho(state, cfg, target)
         new_params = HMMParams(
             init=dirichlet.nat_grad_step(params.init, prior.init, stats.init, scale, rho),
             trans=dirichlet.nat_grad_step(
@@ -142,7 +151,7 @@ def make_dp_minibatch_svi_step(emission, cfg, num_seqs: int, mesh: Mesh,
         )
         noisy_elbo = scale * stats.log_z - global_kl(params, prior, emission)
         return (
-            SVIState(params=new_params, step=state.step + 1, key=key),
+            SVIState(params=new_params, step=state.step + 1, key=key, adapt=new_adapt),
             {"rho": rho, "noisy_elbo": noisy_elbo},
         )
 
