@@ -48,9 +48,7 @@ def batch_local_step(
     log_pi, log_A = expected_log_params(params)
 
     if method == "pallas":
-        if weights is not None:
-            raise ValueError("pallas e-step does not support buffer weights yet")
-        from ..messages.pallas_fb import pallas_forward_backward_batched
+        from ..messages.pallas_fb import on_tpu, pallas_forward_backward_batched
 
         # compute the likelihoods TIME-MAJOR (free for the einsum producer)
         # so no 4*T*B*K-byte transpose feeds the kernel; only the (B, T, D)
@@ -62,29 +60,23 @@ def batch_local_step(
             log_pi,
             log_A,
             ll_tm,
+            weights=jnp.swapaxes(weights, 0, 1) if weights is not None else None,
             time_major=True,
             # Mosaic requires a TPU; everywhere else run the same kernels
             # under the pallas interpreter (tests, CPU fallback)
-            interpret=jax.default_backend() != "tpu",
+            interpret=not on_tpu(),
         )
-        gamma_w = fb.gamma
-    elif weights is None:
-        ll = emission.expected_log_likelihood(params.emit, obs)  # (B, T, K)
-        fb = jax.vmap(lambda l: messages.e_step(log_pi, log_A, l, method=method))(ll)
-        gamma_w = fb.gamma
+        gamma_w = fb.gamma if weights is None else fb.gamma * weights[..., None]
     else:
         ll = emission.expected_log_likelihood(params.emit, obs)  # (B, T, K)
-        fb = jax.vmap(
-            lambda l, w: messages.e_step(log_pi, log_A, l, weights=w, method=method)
-        )(ll, weights)
-        gamma_w = fb.gamma * weights[..., None]
+        fb = messages.e_step_batched(log_pi, log_A, ll, weights=weights, method=method)
+        gamma_w = fb.gamma if weights is None else fb.gamma * weights[..., None]
 
     emit_stats = emission_flat_stats(emission, params.emit, gamma_w, obs)
-    # the pallas path returns trans_stats already summed over sequences (K, K)
-    trans = fb.trans_stats if fb.trans_stats.ndim == 2 else jnp.sum(fb.trans_stats, 0)
+    # every batched path returns trans_stats already summed over sequences
     stats = LocalStats(
         init=jnp.sum(fb.init_stats, axis=0),
-        trans=trans,
+        trans=fb.trans_stats,
         emit=emit_stats,
         log_z=jnp.sum(fb.log_z),
     )

@@ -74,14 +74,12 @@ def make_step(emission, cfg: MetaObsConfig, chain_len: int, method: str = "scan"
 
         log_pi, log_A = expected_log_params(params)
         ll = emission.expected_log_likelihood(params.emit, windows)
-        # The Pool.map analog: vmapped local steps (shard over mesh upstream).
-        fb = jax.vmap(
-            lambda l, w: messages.e_step(log_pi, log_A, l, weights=w, method=method)
-        )(ll, maskf)
+        # The Pool.map analog: batched local steps (shard over mesh upstream).
+        fb = messages.e_step_batched(log_pi, log_A, ll, weights=maskf, method=method)
 
         gamma_w = fb.gamma * maskf[..., None]
         emit_stats = emission_flat_stats(emission, params.emit, gamma_w, windows)
-        trans_stats = jnp.sum(fb.trans_stats, axis=0)
+        trans_stats = fb.trans_stats  # batch-summed by e_step_batched
 
         gamma_at_start = jax.vmap(lambda g, o: g[o])(fb.gamma, offs)
         is_first_block = (block_ids == 0).astype(params.init.dtype)[:, None]

@@ -138,14 +138,12 @@ def make_step(emission, cfg: SVIConfig, chain_len: int, method: str = "scan"):
 
         log_pi, log_A = expected_log_params(params)
         ll = emission.expected_log_likelihood(params.emit, windows)  # (B, W, K)
-        fb = jax.vmap(
-            lambda l, w: messages.e_step(log_pi, log_A, l, weights=w, method=method)
-        )(ll, maskf)
+        fb = messages.e_step_batched(log_pi, log_A, ll, weights=maskf, method=method)
 
         # Emission stats over kept positions only.
         gamma_w = fb.gamma * maskf[..., None]
         emit_stats = emission_flat_stats(emission, params.emit, gamma_w, windows)
-        trans_stats = jnp.sum(fb.trans_stats, axis=0)
+        trans_stats = fb.trans_stats  # batch-summed by e_step_batched
 
         # Initial-state stats: gamma at the chain start, only for windows
         # whose subchain begins at t=0; unbiased via inverse inclusion prob.
@@ -299,11 +297,11 @@ def make_minibatch_step(emission, cfg: SVIConfig, num_seqs: int, method: str = "
 
         log_pi, log_A = expected_log_params(params)
         ll = emission.expected_log_likelihood(params.emit, batch)
-        fb = jax.vmap(lambda l: messages.e_step(log_pi, log_A, l, method=method))(ll)
+        fb = messages.e_step_batched(log_pi, log_A, ll, method=method)
 
         emit_stats = emission_flat_stats(emission, params.emit, fb.gamma, batch)
         init_stats = jnp.sum(fb.init_stats, 0)
-        trans_stats = jnp.sum(fb.trans_stats, 0)
+        trans_stats = fb.trans_stats  # batch-summed by e_step_batched
 
         target = HMMParams(
             init=dirichlet.posterior(prior.init, scale * init_stats),

@@ -53,6 +53,39 @@ def e_step_grad(
     )
 
 
+def e_step_batched(
+    log_pi: jax.Array,
+    log_A: jax.Array,
+    log_lik: jax.Array,  # (B, T, K)
+    weights: jax.Array | None = None,  # (B, T) kept-mask
+    method: str = "scan",
+) -> FBResult:
+    """Batched E-step over (B, T, K) likelihoods — the engines' entry point.
+
+    Contract: gamma (B, T, K), log_z (B,), log_c (B, T), init_stats (B, K)
+    per sequence; trans_stats ALWAYS summed over the batch, shape (K, K)
+    (what every global update consumes). method="pallas" runs the fused
+    TPU kernels (interpreted off-TPU); other methods vmap :func:`e_step`.
+    """
+    if method == "pallas":
+        from .pallas_fb import on_tpu, pallas_forward_backward_batched
+
+        return pallas_forward_backward_batched(
+            log_pi,
+            log_A,
+            log_lik,
+            weights=weights,
+            interpret=not on_tpu(),
+        )
+    if weights is None:
+        fb = jax.vmap(lambda l: e_step(log_pi, log_A, l, method=method))(log_lik)
+    else:
+        fb = jax.vmap(
+            lambda l, w: e_step(log_pi, log_A, l, weights=w, method=method)
+        )(log_lik, weights)
+    return fb._replace(trans_stats=jnp.sum(fb.trans_stats, axis=0))
+
+
 def e_step(
     log_pi: jax.Array,
     log_A: jax.Array,
@@ -87,5 +120,6 @@ __all__ = [
     "viterbi",
     "ffbs_sample",
     "e_step",
+    "e_step_batched",
     "e_step_grad",
 ]

@@ -71,6 +71,18 @@ RENORM = 4  # forward full-row renormalization period
 LANES = 128  # MXU/VPU lane width
 
 
+def on_tpu() -> bool:
+    """True when computations will actually hit a TPU (Mosaic) backend.
+
+    `jax.default_backend()` alone is wrong under an explicit CPU default
+    device (the test harness pins CPU while a TPU plugin is registered).
+    """
+    dd = jax.config.jax_default_device
+    if dd is not None:
+        return getattr(dd, "platform", "") not in ("cpu", "gpu")
+    return jax.default_backend() == "tpu"
+
+
 def _fwd_kernel(pi_ref, A_ref, lik_ref, alpha_ref, carry, *, C, m):
     """One time-tile of the forward recursion, whole row tile at once.
 
@@ -106,8 +118,7 @@ def _fwd_kernel(pi_ref, A_ref, lik_ref, alpha_ref, carry, *, C, m):
 
 
 def _bwd_kernel(
-    A_ref, lik_ref, alpha_ref, v_ref, seed_ref, gamma_ref, acc_ref,
-    bcarry, dcarry, *, C, m
+    A_ref, lik_ref, alpha_ref, v_ref, seed_ref, *rest, C, m, K, gated
 ):
     """Reverse-time tile fusing beta recursion + gamma + summed pair stats.
 
@@ -125,6 +136,21 @@ def _bwd_kernel(
     P diagonal K x K blocks are meaningful (the caller discards the rest
     against the exact zeros of kron(I_P, A~)).
     """
+    if gated:
+        g_ref, gamma_ref, acc_ref, bcarry, dcarry = rest
+    else:
+        g_ref, (gamma_ref, acc_ref, bcarry, dcarry) = None, rest
+    P = A_ref.shape[0] // K
+
+    def gate(x, c):  # lane-broadcast the (R, P) pair gate to (R, PK)
+        gc = g_ref[c]
+        if P == 1:
+            return x * gc
+        return x * jnp.concatenate(
+            [jnp.broadcast_to(gc[:, p : p + 1], (gc.shape[0], K)) for p in range(P)],
+            axis=-1,
+        )
+
     i = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -162,10 +188,13 @@ def _bwd_kernel(
         if c % m == 0:
             # replay the forward's full-row renorm (scalar per row)
             d = d * v_ref[0, c // m][:, None]
+        # stats-side d: gated by the pair mask w_{t-1} w_t (SVI buffer
+        # discard); the beta chain always uses the UNGATED d
+        ds = gate(d, c) if gated else d
         if c > 0:
-            acc_ref[:, :] += outer_acc(alpha_ref[c - 1], d)
+            acc_ref[:, :] += outer_acc(alpha_ref[c - 1], ds)
         else:
-            dcarry[:, :] = d
+            dcarry[:, :] = ds
         beta = chain_step(d)
     bcarry[:, :] = beta
 
@@ -218,6 +247,7 @@ def pallas_forward_backward_batched(
     log_pi: jax.Array,
     log_A: jax.Array,
     log_lik: jax.Array,  # (B, T, K), or (T, B, K) when time_major=True
+    weights: jax.Array | None = None,  # (B, T) / (T, B) kept-mask (SVI buffers)
     interpret: bool = False,
     tiles: tuple[int, int] | None = None,
     time_major: bool = False,
@@ -240,10 +270,16 @@ def pallas_forward_backward_batched(
         T, B, K = log_lik.shape
         lik_tm, shifts_tm = _normalize_loglik(log_lik.astype(jnp.float32))
         shifts = jnp.swapaxes(shifts_tm, 0, 1)  # (B, T), small
+        w_tm = weights.astype(jnp.float32) if weights is not None else None
     else:
         B, T, K = log_lik.shape
         lik_btk, shifts = _normalize_loglik(log_lik.astype(jnp.float32))
         lik_tm = jnp.swapaxes(lik_btk, 0, 1)
+        w_tm = (
+            jnp.swapaxes(weights.astype(jnp.float32), 0, 1)
+            if weights is not None
+            else None
+        )
     A_tilde = jnp.exp(log_A).astype(jnp.float32)
     pi_tilde = jnp.exp(log_pi).astype(jnp.float32)
 
@@ -312,28 +348,46 @@ def pallas_forward_backward_batched(
     v = (1.0 / q_prev[::m]).reshape(nT, C // m, R)
     seed = jnp.repeat(1.0 / s_out[T - 1], K, axis=-1).reshape(R, PK)
 
+    gated = w_tm is not None
+    bwd_inputs = [A_blk, lik, alpha_t, v, seed]
+    bwd_in_specs = [
+        pl.BlockSpec((PK, PK), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (C, tile_r, PK),
+            lambda i, j, nT=nT: (nT - 1 - j, i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (C, tile_r, PK),
+            lambda i, j, nT=nT: (nT - 1 - j, i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (1, C // m, tile_r),
+            lambda i, j, nT=nT: (nT - 1 - j, 0, i),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec((tile_r, PK), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+    ]
+    if gated:
+        # pair gates g_t = w_{t-1} w_t (the transition (t-1, t) is kept iff
+        # both endpoints are kept; g_0 is never read)
+        g = jnp.concatenate(
+            [jnp.zeros((1, B), jnp.float32), w_tm[:-1] * w_tm[1:]], axis=0
+        ).reshape(T, R, P)
+        bwd_inputs.append(g)
+        bwd_in_specs.append(
+            pl.BlockSpec(
+                (C, tile_r, P),
+                lambda i, j, nT=nT: (nT - 1 - j, i, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+
     gamma_t, acc = pl.pallas_call(
-        functools.partial(_bwd_kernel, C=C, m=m),
+        functools.partial(_bwd_kernel, C=C, m=m, K=K, gated=gated),
         grid=(nR, nT),
-        in_specs=[
-            pl.BlockSpec((PK, PK), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (C, tile_r, PK),
-                lambda i, j, nT=nT: (nT - 1 - j, i, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (C, tile_r, PK),
-                lambda i, j, nT=nT: (nT - 1 - j, i, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, C // m, tile_r),
-                lambda i, j, nT=nT: (nT - 1 - j, 0, i),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec((tile_r, PK), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=bwd_in_specs,
         out_specs=[
             pl.BlockSpec(
                 (C, tile_r, PK),
@@ -352,7 +406,7 @@ def pallas_forward_backward_batched(
         ],
         compiler_params=None if interpret else compiler_params,
         interpret=interpret,
-    )(A_blk, lik, alpha_t, v, seed)
+    )(*bwd_inputs)
 
     log_c = jnp.swapaxes(log_c_t, 0, 1) + shifts  # (B, T)
     log_z = jnp.sum(log_c, axis=-1)

@@ -30,20 +30,50 @@ class TestPallasFB:
         ref = jax.vmap(lambda l: messages.forward_backward(log_pi, log_A, l))(ll)
         np.testing.assert_allclose(np.array(fb.gamma), np.array(ref.gamma), atol=2e-6)
         np.testing.assert_allclose(np.array(fb.log_z), np.array(ref.log_z), rtol=2e-6)
+        # pallas returns trans_stats summed over the batch (K, K)
         np.testing.assert_allclose(
-            np.array(fb.trans_stats), np.array(ref.trans_stats), atol=2e-5
+            np.array(fb.trans_stats), np.array(ref.trans_stats.sum(0)), atol=2e-5
         )
         np.testing.assert_allclose(
             np.array(fb.init_stats), np.array(ref.init_stats), atol=2e-6
         )
         np.testing.assert_allclose(np.array(fb.log_c), np.array(ref.log_c), atol=2e-5)
 
+    @pytest.mark.parametrize("B,T,K", [(4, 64, 8), (3, 40, 5)])
+    def test_weighted_matches_scan(self, B, T, K):
+        """SVI buffer masks: gated pairwise stats agree with the weighted
+        scan path; gamma/log_z are unaffected by weights."""
+        log_pi, log_A, ll = problem(B, T, K)
+        w = (rng.random((B, T)) > 0.3).astype(np.float32)
+        w[:, 0] = 1.0
+        wj = jnp.array(w)
+        fb = pallas_forward_backward_batched(
+            log_pi, log_A, ll, weights=wj, interpret=True
+        )
+        ref = jax.vmap(
+            lambda l, wi: messages.forward_backward(log_pi, log_A, l, weights=wi)
+        )(ll, wj)
+        np.testing.assert_allclose(np.array(fb.gamma), np.array(ref.gamma), atol=2e-6)
+        np.testing.assert_allclose(
+            np.array(fb.trans_stats), np.array(ref.trans_stats.sum(0)), atol=2e-5
+        )
+        np.testing.assert_allclose(np.array(fb.log_z), np.array(ref.log_z), rtol=2e-6)
+
+    def test_engine_batched_dispatch(self):
+        """e_step_batched(pallas) == e_step_batched(scan) incl. weights."""
+        log_pi, log_A, ll = problem(4, 32, 4)
+        w = jnp.array((rng.random((4, 32)) > 0.2).astype(np.float32))
+        a = messages.e_step_batched(log_pi, log_A, ll, weights=w, method="pallas")
+        b = messages.e_step_batched(log_pi, log_A, ll, weights=w, method="scan")
+        np.testing.assert_allclose(np.array(a.trans_stats), np.array(b.trans_stats), atol=2e-5)
+        np.testing.assert_allclose(np.array(a.gamma), np.array(b.gamma), atol=2e-6)
+
     def test_stats_sum_properties(self):
         log_pi, log_A, ll = problem(4, 40, 6)
         fb = pallas_forward_backward_batched(log_pi, log_A, ll, interpret=True)
-        # each xi_t sums to 1 => per-seq trans stats sum to T-1
+        # each xi_t sums to 1 => batch-summed trans stats sum to B*(T-1)
         np.testing.assert_allclose(
-            np.array(fb.trans_stats.sum(axis=(1, 2))), 39.0, rtol=1e-5
+            np.array(fb.trans_stats.sum()), 4 * 39.0, rtol=1e-5
         )
         np.testing.assert_allclose(
             np.array(fb.gamma.sum(-1)), 1.0, rtol=1e-5
