@@ -50,29 +50,47 @@ def batch_local_step(
     if method == "pallas":
         from ..messages.pallas_fb import on_tpu, pallas_forward_backward_batched
 
-        # compute the likelihoods TIME-MAJOR (free for the einsum producer)
-        # so no 4*T*B*K-byte transpose feeds the kernel; only the (B, T, D)
-        # observation transpose (D << K) is materialized.
-        ll_tm = emission.expected_log_likelihood(
-            params.emit, jnp.swapaxes(obs, 0, 1)
-        )  # (T, B, K)
+        # compute the likelihoods TIME-MAJOR so no 4*T*B*K-byte transpose
+        # feeds the kernel; the barrier forces the (B, T, D) observation
+        # transpose (D << K, cheap) to MATERIALIZE — otherwise XLA folds it
+        # into the likelihood einsum's output layout (time-minor), which
+        # the kernel can't accept, and re-lays-out the full likelihood
+        # array twice instead.
+        obs_tm = obs
+        if obs.ndim == 3:
+            obs_tm = jax.lax.optimization_barrier(jnp.swapaxes(obs, 0, 1))
+        else:  # int observations (multinomial): tiny, transpose freely
+            obs_tm = jnp.swapaxes(obs, 0, 1)
+        ll_tm = emission.expected_log_likelihood(params.emit, obs_tm)  # (T, B, K)
+        w_tm = jnp.swapaxes(weights, 0, 1) if weights is not None else None
         fb = pallas_forward_backward_batched(
             log_pi,
             log_A,
             ll_tm,
-            weights=jnp.swapaxes(weights, 0, 1) if weights is not None else None,
+            weights=w_tm,
             time_major=True,
+            packed_gamma=True,
             # Mosaic requires a TPU; everywhere else run the same kernels
             # under the pallas interpreter (tests, CPU fallback)
             interpret=not on_tpu(),
         )
-        gamma_w = fb.gamma if weights is None else fb.gamma * weights[..., None]
+        # Emission stats read gamma in its PACKED kernel layout (no XLA
+        # re-layout copy of the whole array); weights fold into the
+        # feature side: sum_n (gamma_n w_n) f_n = sum_n gamma_n (w_n f_n).
+        gamma_packed = fb.gamma  # (T, B/P, P*K)
+        emit_stats = _packed_emission_stats(
+            emission, params.emit, gamma_packed, obs_tm, weights_tm=w_tm
+        )
+        B, T = obs.shape[0], obs.shape[1]
+        K = params.init.shape[0]
+        fb = fb._replace(
+            gamma=jnp.swapaxes(gamma_packed.reshape(T, B, K), 0, 1)
+        )
     else:
         ll = emission.expected_log_likelihood(params.emit, obs)  # (B, T, K)
         fb = messages.e_step_batched(log_pi, log_A, ll, weights=weights, method=method)
         gamma_w = fb.gamma if weights is None else fb.gamma * weights[..., None]
-
-    emit_stats = emission_flat_stats(emission, params.emit, gamma_w, obs)
+        emit_stats = emission_flat_stats(emission, params.emit, gamma_w, obs)
     # every batched path returns trans_stats already summed over sequences
     stats = LocalStats(
         init=jnp.sum(fb.init_stats, axis=0),
@@ -133,3 +151,49 @@ def predictive_log_likelihood(
         ll = emission.point_log_likelihood(theta, obs)
     _, log_z = jax.vmap(lambda l: messages.forward(log_pi, log_A, l))(ll)
     return jnp.sum(log_z)
+
+
+def _packed_emission_stats(emission, emit_params, gamma_packed, obs_tm, weights_tm=None):
+    """Emission sufficient stats from PACKED time-major gamma (T, R, P*K).
+
+    One dim-0 dot_general against lane-packed per-observation features —
+    gamma is read in the pallas kernels' native layout (no re-layout copy)
+    and the P diagonal (K, F) blocks of the (P*K, P*F) product are summed
+    (cross-sequence blocks are discarded). Weights (kept-masks) multiply
+    the FEATURE side, which is exactly gamma-weighting by linearity.
+    """
+    from ..distributions.emissions import MultinomialDirichlet
+    from ..distributions.niw import GaussianStats, _pair_features
+
+    T, R, PK = gamma_packed.shape
+    g2 = gamma_packed.reshape(T * R, PK)
+
+    if emission is MultinomialDirichlet:
+        V = emit_params.shape[-1]
+        K = emit_params.shape[0]
+        P = PK // K
+        feats = jax.nn.one_hot(obs_tm, V, dtype=g2.dtype)  # (T, B, V)
+        if weights_tm is not None:
+            feats = feats * weights_tm[..., None]
+        f2 = feats.reshape(T * R, P * V)
+        acc = jax.lax.dot_general(
+            g2, f2, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        return sum(acc[p * K : (p + 1) * K, p * V : (p + 1) * V] for p in range(P))
+
+    D = obs_tm.shape[-1]
+    K = emit_params.mean.shape[0]
+    P = PK // K
+    F = 1 + D + D * D
+    ones = jnp.ones(obs_tm.shape[:-1] + (1,), obs_tm.dtype)
+    feats = jnp.concatenate([ones, obs_tm, _pair_features(obs_tm)], axis=-1)
+    if weights_tm is not None:
+        feats = feats * weights_tm[..., None]
+    f2 = feats.reshape(T * R, P * F)
+    acc = jax.lax.dot_general(
+        g2, f2, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    S = sum(acc[p * K : (p + 1) * K, p * F : (p + 1) * F] for p in range(P))
+    return GaussianStats(
+        n=S[:, 0], sum_y=S[:, 1 : 1 + D], sum_yyT=S[:, 1 + D :].reshape(K, D, D)
+    )

@@ -83,7 +83,7 @@ def on_tpu() -> bool:
     return jax.default_backend() == "tpu"
 
 
-def _fwd_kernel(pi_ref, A_ref, lik_ref, alpha_ref, carry, *, C, m):
+def _fwd_kernel(pi_ref, A_ref, lik_ref, alpha_ref, carry, *, C, m, log_in):
     """One time-tile of the forward recursion, whole row tile at once.
 
     pi_ref:   (1, PK)           pi~ tiled P times
@@ -96,34 +96,42 @@ def _fwd_kernel(pi_ref, A_ref, lik_ref, alpha_ref, carry, *, C, m):
     """
     j = pl.program_id(1)
 
+    def lik(p):
+        # log_in: likelihoods arrive max-shifted in LOG space and the exp
+        # runs here on the VPU (off the chain) — the exp'd T*B*K array then
+        # never exists in HBM, and XLA needs no layout copies to feed it
+        return jnp.exp(lik_ref[p]) if log_in else lik_ref[p]
+
     def raw_step(a_prev, lik_t):
         return jnp.dot(a_prev, A_ref[:, :], preferred_element_type=jnp.float32) * lik_t
 
     # p = 0: alpha_0 = pi~ * lik_0 on the first tile, else one step off the
     # renormalized carry; both arms are cheap and the select is branch-free.
+    lik0 = lik(0)
     a = jnp.where(
         j == 0,
-        pi_ref[0, :][None, :] * lik_ref[0],
-        raw_step(carry[:, :], lik_ref[0]),
+        pi_ref[0, :][None, :] * lik0,
+        raw_step(carry[:, :], lik0),
     )
     alpha_ref[0] = a
     q = jnp.sum(a, axis=-1, keepdims=True)  # full-row sum, off the chain
     for p in range(1, C):
         if p % m == 0:
             a = a / q  # renorm boundary; q is the PREVIOUS step's sum
-        a = raw_step(a, lik_ref[p])
+        a = raw_step(a, lik(p))
         alpha_ref[p] = a
         q = jnp.sum(a, axis=-1, keepdims=True)
     carry[:, :] = a / q
 
 
 def _bwd_kernel(
-    A_ref, lik_ref, alpha_ref, v_ref, seed_ref, *rest, C, m, K, gated
+    A_ref, lik_ref, alpha_ref, v_ref, seed_ref, *rest, C, m, K, gated, log_in
 ):
     """Reverse-time tile fusing beta recursion + gamma + summed pair stats.
 
-    v_ref:    (C // m, R)  full-row renorm replay factors 1/q for the renorm
-                           steps inside this tile (step c = k*m uses v[k])
+    v_ref:    (1, C//m, R_TILE)  full-row renorm replay factors 1/q for the
+                           renorm steps inside this tile (step c = k*m uses
+                           v_ref[0, k]; leading dim is the grid's time index)
     seed_ref: (R, PK)      beta' seed at t = T-1: 1/h_{T-1} per sequence,
                            broadcast to lanes (computed outside, tiny)
 
@@ -184,7 +192,7 @@ def _bwd_kernel(
     beta = bcarry[:, :]
     for c in range(C - 1, -1, -1):
         gamma_ref[c] = alpha_ref[c] * beta
-        d = lik_ref[c] * beta
+        d = (jnp.exp(lik_ref[c]) if log_in else lik_ref[c]) * beta
         if c % m == 0:
             # replay the forward's full-row renorm (scalar per row)
             d = d * v_ref[0, c // m][:, None]
@@ -241,7 +249,7 @@ def _choose_tiles(R: int, T: int, PK: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("interpret", "tiles", "time_major")
+    jax.jit, static_argnames=("interpret", "tiles", "time_major", "packed_gamma")
 )
 def pallas_forward_backward_batched(
     log_pi: jax.Array,
@@ -251,6 +259,7 @@ def pallas_forward_backward_batched(
     interpret: bool = False,
     tiles: tuple[int, int] | None = None,
     time_major: bool = False,
+    packed_gamma: bool = False,
 ) -> FBResult:
     """Batched fully-fused FB.
 
@@ -265,16 +274,27 @@ def pallas_forward_backward_batched(
     time_major=True avoids the 4*T*B*K-byte transpose feeding the kernel:
     pass the likelihoods already as (T, B, K) (the emission producer can
     emit that layout for free — batch_local_step does).
+
+    packed_gamma=True returns gamma in the kernels' native packed layout
+    (T, B/P, P*K) so downstream matmuls (packed emission stats) can read
+    it without an XLA re-layout copy of the whole array; init_stats stays
+    (B, K).
     """
+    # Likelihoods stay in (max-shifted) LOG space; the kernels exp() them
+    # on read. The subtract fuses into the einsum producer's epilogue and
+    # the exp'd array never exists in HBM (no XLA layout copies).
     if time_major:
         T, B, K = log_lik.shape
-        lik_tm, shifts_tm = _normalize_loglik(log_lik.astype(jnp.float32))
+        ll32 = log_lik.astype(jnp.float32)
+        shifts_tm = jnp.max(ll32, axis=-1)
+        lik_tm = ll32 - lax.stop_gradient(shifts_tm)[..., None]
         shifts = jnp.swapaxes(shifts_tm, 0, 1)  # (B, T), small
         w_tm = weights.astype(jnp.float32) if weights is not None else None
     else:
         B, T, K = log_lik.shape
-        lik_btk, shifts = _normalize_loglik(log_lik.astype(jnp.float32))
-        lik_tm = jnp.swapaxes(lik_btk, 0, 1)
+        ll32 = log_lik.astype(jnp.float32)
+        shifts = jnp.max(ll32, axis=-1)
+        lik_tm = jnp.swapaxes(ll32 - lax.stop_gradient(shifts)[..., None], 0, 1)
         w_tm = (
             jnp.swapaxes(weights.astype(jnp.float32), 0, 1)
             if weights is not None
@@ -304,7 +324,7 @@ def pallas_forward_backward_batched(
     compiler_params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
     alpha_t = pl.pallas_call(
-        functools.partial(_fwd_kernel, C=C, m=m),
+        functools.partial(_fwd_kernel, C=C, m=m, log_in=True),
         grid=(nR, nT),
         in_specs=[
             pl.BlockSpec((1, PK), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
@@ -323,8 +343,12 @@ def pallas_forward_backward_batched(
     )(pi_blk, A_blk, lik)
 
     # --- scale bookkeeping, all elementwise/XLA between the kernels ---
-    # Per-sequence stored scales h_t: one segmented reduce over raw alpha.
-    s_out = jnp.sum(alpha_t.reshape(T, R, P, K), axis=-1)  # (T, R, P) = h_t
+    # Per-sequence stored scales h_t: one segmented reduce over raw alpha,
+    # expressed as a (T*R, PK) @ (PK, P) matmul — a reshape+reduce makes
+    # XLA re-lay-out the whole 4*T*B*K-byte alpha array just to produce
+    # these 4*T*B bytes of sums; the matmul accepts alpha's native layout.
+    S_seg = jnp.repeat(jnp.eye(P, dtype=jnp.float32), K, axis=0)  # (PK, P)
+    s_out = (alpha_t.reshape(T * R, PK) @ S_seg).reshape(T, R, P)  # = h_t
     q = jnp.sum(s_out, axis=-1)  # (T, R) full-row sums (renorm divisors)
     log_s = jnp.log(s_out.reshape(T, B))
     # log c_t = log h_t - log h_{t-1} + [renorm between t-1,t] log q_{t-1};
@@ -385,7 +409,7 @@ def pallas_forward_backward_batched(
         )
 
     gamma_t, acc = pl.pallas_call(
-        functools.partial(_bwd_kernel, C=C, m=m, K=K, gated=gated),
+        functools.partial(_bwd_kernel, C=C, m=m, K=K, gated=gated, log_in=True),
         grid=(nR, nT),
         in_specs=bwd_in_specs,
         out_specs=[
@@ -410,15 +434,17 @@ def pallas_forward_backward_batched(
 
     log_c = jnp.swapaxes(log_c_t, 0, 1) + shifts  # (B, T)
     log_z = jnp.sum(log_c, axis=-1)
-    gamma = jnp.swapaxes(gamma_t.reshape(T, B, K), 0, 1)
     # sum the P diagonal K x K blocks of the packed accumulator
     acc_kk = sum(acc[p * K : (p + 1) * K, p * K : (p + 1) * K] for p in range(P))
     trans_stats = A_tilde * acc_kk  # (K, K), summed over batch and time
+
+    init_stats = gamma_t[0].reshape(B, K)
+    gamma = gamma_t if packed_gamma else jnp.swapaxes(gamma_t.reshape(T, B, K), 0, 1)
 
     return FBResult(
         gamma=gamma,
         log_z=log_z,
         trans_stats=trans_stats,
-        init_stats=gamma[:, 0, :],
+        init_stats=init_stats,
         log_c=log_c,
     )
