@@ -63,12 +63,16 @@ def bench_jax(batch=1024, iters=20, method="scan"):
                 obs_,
                 method,
             )
-            # consume EVERY output (cheap reductions) so XLA cannot dead-
+            # consume EVERY stat (cheap reductions) so XLA cannot dead-
             # code-eliminate the backward pass, the pairwise stats, or the
             # emission stats — this times the full production E-step.
+            # init_stats IS gamma[:, 0] (backward-pass-dependent), so gamma
+            # itself need not be consumed: training loops don't read the
+            # unpacked gamma either (emission stats consume it packed), and
+            # consuming it here would bill an XLA transpose no training
+            # step pays.
             tot = stats.log_z + stats.trans.sum() + stats.init.sum()
             tot = tot + sum(jnp.sum(leaf) for leaf in jax.tree.leaves(stats.emit))
-            tot = tot + gamma[:, 0, :].sum()
             return tot * 0.0 + carry, tot
 
         final, tots = lax.scan(estep_chained, n_zero, None, length=iters)

@@ -42,8 +42,10 @@ def batch_local_step(
     """Full local update over a batch of sequences.
 
     obs: (B, T, D) float or (B, T) int. weights: optional (B, T) kept-mask.
-    Returns (summed stats, gamma (B, T, K)). The e-step is vmapped over B so
-    each scan step is a (B, K) @ (K, K) matmul on the MXU.
+    Returns (summed stats, gamma (B, T, K)). method="pallas" runs the fused
+    lane-packed kernels (messages/pallas_fb.py) with packed emission stats;
+    other methods batch via messages.e_step_batched (vmapped, each scan step
+    a (B, K) @ (K, K) MXU matmul).
     """
     log_pi, log_A = expected_log_params(params)
 
