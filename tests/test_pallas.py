@@ -68,6 +68,25 @@ class TestPallasFB:
         np.testing.assert_allclose(np.array(a.trans_stats), np.array(b.trans_stats), atol=2e-5)
         np.testing.assert_allclose(np.array(a.gamma), np.array(b.gamma), atol=2e-6)
 
+    @pytest.mark.parametrize("tiles", [(4, 8), (2, 16), (1, 64)])
+    def test_tiles_override_matches_scan(self, tiles):
+        """Explicit (row_tile, time_tile) overrides agree with the scan path
+        (the autotune harness and large-batch configs rely on this knob)."""
+        from pysvihmm_tpu.messages.pallas_fb import _choose_packing
+
+        B, T, K = 16, 64, 32  # P = 4 packing => R = 4 rows
+        log_pi, log_A, ll = problem(B, T, K)
+        ref = jax.vmap(lambda l: messages.forward_backward(log_pi, log_A, l))(ll)
+        assert B // _choose_packing(B, K) == 4
+        fb = pallas_forward_backward_batched(
+            log_pi, log_A, ll, interpret=True, tiles=tiles
+        )
+        np.testing.assert_allclose(np.array(fb.gamma), np.array(ref.gamma), atol=2e-6)
+        np.testing.assert_allclose(
+            np.array(fb.trans_stats), np.array(ref.trans_stats.sum(0)), atol=2e-5
+        )
+        np.testing.assert_allclose(np.array(fb.log_z), np.array(ref.log_z), rtol=2e-6)
+
     def test_stats_sum_properties(self):
         log_pi, log_A, ll = problem(4, 40, 6)
         fb = pallas_forward_backward_batched(log_pi, log_A, ll, interpret=True)
