@@ -54,22 +54,25 @@ def main():
                 tot = tot + fb.log_c.sum()
             return tot
 
-        def chained(carry, _):
-            fb = fb_fn(lp, lA, ll + carry * 1e-30)
-            tot = consume(fb)
-            return carry + tot * 0.0, tot
-
         @jax.jit
-        def run(z):
+        def run(z, ll_):
+            # ll_ passed as a jit ARGUMENT: closure constants ship inside
+            # the relay's compile request (HTTP 413 at B >= 2048) and
+            # constant-fold pathologically slowly
+            def chained(carry, _):
+                fb = fb_fn(lp, lA, ll_ + carry * 1e-30)
+                tot = consume(fb)
+                return carry + tot * 0.0, tot
+
             _, out = lax.scan(chained, z, None, length=iters)
             return out[-1]
 
         z = jnp.zeros(())
         t0 = time.perf_counter()
-        np.asarray(jax.device_get(run(z)))
+        np.asarray(jax.device_get(run(z, ll)))
         compile_s = time.perf_counter() - t0
         t0 = time.perf_counter()
-        np.asarray(jax.device_get(run(z)))
+        np.asarray(jax.device_get(run(z, ll)))
         dt = (time.perf_counter() - t0) / iters
         print(
             f"{label:18s} {B/dt:>12.0f} seq/s   {dt*1e3:8.2f} ms/it   "

@@ -92,6 +92,35 @@ class TestMaskedStats:
         np.testing.assert_allclose(np.array(fb.init_stats), 0.0, atol=1e-12)
 
 
+class TestBufferErrorDecay:
+    def test_buffer_error_decays_geometrically(self, enable_x64):
+        """Foti et al. §3.2: the error of subchain marginals against the
+        full-chain marginals decays geometrically in the buffer length b
+        (at the chain's mixing rate). This is the property the adaptive
+        buffer selection and the whole SVI estimator rest on."""
+        T, K, L = 400, 4, 40
+        log_pi, log_A, log_lik = random_problem(T, K, scale=1.0)
+        full = messages.forward_backward(
+            jnp.array(log_pi), jnp.array(log_A), jnp.array(log_lik)
+        )
+        s = 180  # kept window [s, s+L)
+        errs = []
+        for b in (0, 4, 8, 16):
+            lo, hi = s - b, s + L + b
+            sub = messages.forward_backward(
+                jnp.log(jnp.full(K, 1.0 / K)),  # wrong boundary condition
+                jnp.array(log_A),
+                jnp.array(log_lik[lo:hi]),
+            )
+            kept = np.array(sub.gamma)[b : b + L]
+            errs.append(np.abs(kept - np.array(full.gamma)[s : s + L]).max())
+        # monotone decay, and doubling b should at least square away the
+        # error until the f64 floor: check a strong per-increment contraction
+        assert errs[1] < 0.5 * errs[0]
+        assert errs[2] < 0.5 * errs[1]
+        assert errs[3] < max(0.5 * errs[2], 1e-12)
+
+
 class TestDecodeAndSampling:
     def test_viterbi_brute_force(self, enable_x64):
         from itertools import product
