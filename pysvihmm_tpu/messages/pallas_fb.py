@@ -316,6 +316,11 @@ def pallas_forward_backward_batched(
     tile_r, C = tiles if tiles is not None else _choose_tiles(R, T, PK)
     if R % tile_r or T % C:
         raise ValueError(f"tiles {(tile_r, C)} must divide (R={R}, T={T})")
+    if tiles is not None and C > 32:
+        # the kernels unroll the time tile statically; beyond ~32 steps the
+        # Mosaic compile blows up (auto-tiling may exceed this only for tiny
+        # T with no multiple-of-8 divisor, where the whole axis is one tile)
+        raise ValueError(f"time_tile {C} > 32: statically unrolled in-kernel")
     nR, nT = R // tile_r, T // C
     m = RENORM if C % RENORM == 0 else 1
 

@@ -68,7 +68,7 @@ class TestPallasFB:
         np.testing.assert_allclose(np.array(a.trans_stats), np.array(b.trans_stats), atol=2e-5)
         np.testing.assert_allclose(np.array(a.gamma), np.array(b.gamma), atol=2e-6)
 
-    @pytest.mark.parametrize("tiles", [(4, 8), (2, 16), (1, 64)])
+    @pytest.mark.parametrize("tiles", [(4, 8), (2, 16), (1, 32)])
     def test_tiles_override_matches_scan(self, tiles):
         """Explicit (row_tile, time_tile) overrides agree with the scan path
         (the autotune harness and large-batch configs rely on this knob)."""
