@@ -125,18 +125,17 @@ class VBHMM(_HMMBase):
     """Batch coordinate-ascent VB (reference ``hmmbatchcd.VBHMM``)."""
 
     def infer(self, maxit: int = 100, tol: float = 1e-8, method: str = "scan"):
-        params, elbos = batch_vb.fit(
-            self.params, self.prior, self.obs, self.emission, num_iters=maxit,
-            method=method,
-        )
-        elbos = np.asarray(elbos)
-        # host-side tolerance stop (reference semantics): truncate history
-        keep = len(elbos)
-        for i in range(1, len(elbos)):
-            if abs(elbos[i] - elbos[i - 1]) < tol * abs(elbos[i - 1]):
-                keep = i + 1
+        # host-side loop so the tolerance stop applies to the PARAMS as well
+        # as the history (reference semantics: hmmbatchcd stops iterating at
+        # tol); each step is one jitted coordinate-ascent update
+        step = batch_vb.make_step(self.emission, method)
+        params, elbos = self.params, []
+        for _ in range(maxit):
+            params, elbo = step(params, self.prior, self.obs)
+            elbos.append(float(elbo))
+            if len(elbos) > 1 and abs(elbos[-1] - elbos[-2]) < tol * abs(elbos[-2]):
                 break
-        self.elbo_history = [float(x) for x in elbos[:keep]]
+        self.elbo_history = elbos
         self.params = params
         return self
 

@@ -153,11 +153,3 @@ class MultinomialDirichlet:
     def sample_obs(key: jax.Array, theta: jax.Array, z: jax.Array) -> jax.Array:
         logits = jnp.log(theta)[z]  # (..., V)
         return jax.random.categorical(key, logits, axis=-1)
-
-
-def emission_suff_stats(emission, params, gamma: jax.Array, y: jax.Array):
-    """Family-dispatching sufficient stats (handles multinomial's static V)."""
-    if emission is MultinomialDirichlet or getattr(emission, "name", "") == "multinomial_dirichlet":
-        V = params.shape[-1]
-        return MultinomialDirichlet.make_suff_stats(V)(gamma, y)
-    return emission.suff_stats(gamma, y)

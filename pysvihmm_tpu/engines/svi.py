@@ -115,6 +115,15 @@ def make_step(emission, cfg: SVIConfig, chain_len: int, method: str = "scan"):
     B, L, b = cfg.batch_size, cfg.subchain_len, cfg.buffer
     T = chain_len
     W = L + 2 * b
+    b_left = b
+    if method == "pallas" and W < T:
+        # round the window up to a multiple of 8 so the fused kernels get a
+        # clean time tile (otherwise the tiler falls back to unrolling the
+        # whole window); the extra steps are pure additional buffer, which
+        # only improves the kept-region boundary messages
+        pad = min(-W % 8, T - W)
+        b_left += pad // 2
+        W += pad
     if W > T:
         raise ValueError(f"window {W} longer than chain {T}")
     num_starts = T - L + 1
@@ -128,7 +137,7 @@ def make_step(emission, cfg: SVIConfig, chain_len: int, method: str = "scan"):
         params = state.params
 
         starts = jax.random.randint(k_starts, (B,), 0, num_starts)
-        ws = jnp.clip(starts - b, 0, T - W)  # clipped window starts
+        ws = jnp.clip(starts - b_left, 0, T - W)  # clipped window starts
         offs = starts - ws  # kept-region offset inside each window
         windows = _gather_windows(obs, ws, W)  # (B, W, ...)
 

@@ -47,6 +47,21 @@ def forward_backward_assoc(
     A_tilde = jnp.exp(log_A)
     lik, shifts = _normalize_loglik(log_lik)
 
+    if T == 1:
+        # no transitions: the chain posterior is one categorical
+        v0 = jnp.exp(log_pi) * lik[0]
+        c0 = jnp.sum(v0)
+        gamma0 = v0 / c0
+        w0 = 1.0 if weights is None else weights.astype(log_lik.dtype)[0]
+        log_z = jnp.log(c0) + jnp.sum(shifts)
+        return FBResult(
+            gamma=gamma0[None],
+            log_z=log_z,
+            trans_stats=jnp.zeros((K, K), log_lik.dtype),
+            init_stats=w0 * gamma0,
+            log_c=log_z[None],
+        )
+
     # M_t for t = 1..T-1: transition into step t.
     M = A_tilde[None, :, :] * lik[1:, None, :]  # (T-1, K, K)
     m0 = jnp.max(M, axis=(-2, -1), keepdims=True)
@@ -113,6 +128,8 @@ def log_normalizer_assoc(
     """log p~(y) via a single prefix-product reduction (associative, log-depth)."""
     A_tilde = jnp.exp(log_A)
     lik, shifts = _normalize_loglik(log_lik)
+    if log_lik.shape[0] == 1:
+        return jnp.log(jnp.sum(jnp.exp(log_pi) * lik[0])) + jnp.sum(shifts)
     M = A_tilde[None, :, :] * lik[1:, None, :]
     m0 = jnp.max(M, axis=(-2, -1), keepdims=True)
     M_n = M / m0

@@ -59,8 +59,7 @@ def forward_backward_blocked(
     c0 = jnp.sum(a0)
     alpha0 = a0 / c0
 
-    def fwd_block(carry, M_blk):
-        a, acc = carry
+    def fwd_block(a, M_blk):
         m0 = jnp.max(M_blk, axis=(-2, -1), keepdims=True)
         M_n = M_blk / m0
         s0 = jnp.log(m0[..., 0, 0])
@@ -70,12 +69,9 @@ def forward_backward_blocked(
         alphas = au / sums[:, None]
         cums = jnp.log(sums) + sP
         log_c = jnp.diff(jnp.concatenate([jnp.zeros((1,), dtype), cums]))
-        new_carry = (alphas[-1], acc + cums[-1])
-        return new_carry, (alphas, log_c)
+        return alphas[-1], (alphas, log_c)
 
-    (_, logz_tail), (alphas_blk, logc_blk) = lax.scan(
-        fwd_block, (alpha0, jnp.zeros((), dtype)), M_all
-    )
+    _, (alphas_blk, logc_blk) = lax.scan(fwd_block, alpha0, M_all)
     alpha = jnp.concatenate(
         [alpha0[None], alphas_blk.reshape(-1, K)[:n_trans]], axis=0
     )

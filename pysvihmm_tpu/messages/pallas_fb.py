@@ -83,7 +83,7 @@ def on_tpu() -> bool:
     return jax.default_backend() == "tpu"
 
 
-def _fwd_kernel(pi_ref, A_ref, lik_ref, alpha_ref, carry, *, C, m, log_in):
+def _fwd_kernel(pi_ref, A_ref, lik_ref, alpha_ref, carry, *, C, m, log_in, prec):
     """One time-tile of the forward recursion, whole row tile at once.
 
     pi_ref:   (1, PK)           pi~ tiled P times
@@ -103,7 +103,13 @@ def _fwd_kernel(pi_ref, A_ref, lik_ref, alpha_ref, carry, *, C, m, log_in):
         return jnp.exp(lik_ref[p]) if log_in else lik_ref[p]
 
     def raw_step(a_prev, lik_t):
-        return jnp.dot(a_prev, A_ref[:, :], preferred_element_type=jnp.float32) * lik_t
+        return (
+            jnp.dot(
+                a_prev, A_ref[:, :],
+                preferred_element_type=jnp.float32, precision=prec,
+            )
+            * lik_t
+        )
 
     # p = 0: alpha_0 = pi~ * lik_0 on the first tile, else one step off the
     # renormalized carry; both arms are cheap and the select is branch-free.
@@ -125,7 +131,7 @@ def _fwd_kernel(pi_ref, A_ref, lik_ref, alpha_ref, carry, *, C, m, log_in):
 
 
 def _bwd_kernel(
-    A_ref, lik_ref, alpha_ref, v_ref, seed_ref, *rest, C, m, K, gated, log_in
+    A_ref, lik_ref, alpha_ref, v_ref, seed_ref, *rest, C, m, K, gated, log_in, prec
 ):
     """Reverse-time tile fusing beta recursion + gamma + summed pair stats.
 
@@ -174,14 +180,15 @@ def _bwd_kernel(
         # sum_r outer(a[r], d[r]) as a dim-0 contraction: no transposed
         # operand is ever materialized (MXU feeds it natively)
         return lax.dot_general(
-            a, d, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            a, d, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
         )
 
     def chain_step(d):
         # d @ A^T as a dim-1/dim-1 contraction: no transpose materialized
         return lax.dot_general(
             d, A_ref[:, :], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=prec,
         )
 
     @pl.when(j != 0)
@@ -230,6 +237,12 @@ def _choose_tiles(R: int, T: int, PK: int):
         for cand in range(min(cap, T - T % 8, 32), 0, -8):
             if T % cand == 0:
                 return cand
+        # no multiple-of-8 divisor (e.g. T = 70, 100): any divisor <= 32
+        # keeps the static unroll bounded (C is the block's outer dim, so
+        # the sublane tiling rule constrains tile_r, not C)
+        for cand in range(min(cap, 32), 1, -1):
+            if T % cand == 0:
+                return cand
         return 0
 
     tile_r = min(R, 1024)
@@ -249,7 +262,8 @@ def _choose_tiles(R: int, T: int, PK: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("interpret", "tiles", "time_major", "packed_gamma")
+    jax.jit,
+    static_argnames=("interpret", "tiles", "time_major", "packed_gamma", "precision"),
 )
 def pallas_forward_backward_batched(
     log_pi: jax.Array,
@@ -260,6 +274,7 @@ def pallas_forward_backward_batched(
     tiles: tuple[int, int] | None = None,
     time_major: bool = False,
     packed_gamma: bool = False,
+    precision: lax.Precision = lax.Precision.HIGHEST,
 ) -> FBResult:
     """Batched fully-fused FB.
 
@@ -329,7 +344,7 @@ def pallas_forward_backward_batched(
     compiler_params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
     alpha_t = pl.pallas_call(
-        functools.partial(_fwd_kernel, C=C, m=m, log_in=True),
+        functools.partial(_fwd_kernel, C=C, m=m, log_in=True, prec=precision),
         grid=(nR, nT),
         in_specs=[
             pl.BlockSpec((1, PK), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
@@ -414,7 +429,9 @@ def pallas_forward_backward_batched(
         )
 
     gamma_t, acc = pl.pallas_call(
-        functools.partial(_bwd_kernel, C=C, m=m, K=K, gated=gated, log_in=True),
+        functools.partial(
+            _bwd_kernel, C=C, m=m, K=K, gated=gated, log_in=True, prec=precision
+        ),
         grid=(nR, nT),
         in_specs=bwd_in_specs,
         out_specs=[
@@ -444,6 +461,10 @@ def pallas_forward_backward_batched(
     trans_stats = A_tilde * acc_kk  # (K, K), summed over batch and time
 
     init_stats = gamma_t[0].reshape(B, K)
+    if gated:
+        # kept-mask gate on the t=0 contribution (contract shared with the
+        # scan/assoc/blocked paths: init_stats = w_0 * gamma_0)
+        init_stats = init_stats * w_tm[0][:, None]
     gamma = gamma_t if packed_gamma else jnp.swapaxes(gamma_t.reshape(T, B, K), 0, 1)
 
     return FBResult(

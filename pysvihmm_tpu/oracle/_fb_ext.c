@@ -39,9 +39,24 @@ static PyObject *fb_c(PyObject *self, PyObject *args) {
     if (get_buf(o_pi, &b_pi, 0)) return NULL;
     if (get_buf(o_A, &b_A, 0)) { PyBuffer_Release(&b_pi); return NULL; }
     if (get_buf(o_ll, &b_ll, 0)) { PyBuffer_Release(&b_pi); PyBuffer_Release(&b_A); return NULL; }
-    if (get_buf(o_al, &b_al, 1) || get_buf(o_be, &b_be, 1) ||
-        get_buf(o_ga, &b_ga, 1) || get_buf(o_xi, &b_xi, 1)) {
+    /* release every buffer already acquired when a later one fails */
+    if (get_buf(o_al, &b_al, 1)) {
         PyBuffer_Release(&b_pi); PyBuffer_Release(&b_A); PyBuffer_Release(&b_ll);
+        return NULL;
+    }
+    if (get_buf(o_be, &b_be, 1)) {
+        PyBuffer_Release(&b_pi); PyBuffer_Release(&b_A); PyBuffer_Release(&b_ll);
+        PyBuffer_Release(&b_al);
+        return NULL;
+    }
+    if (get_buf(o_ga, &b_ga, 1)) {
+        PyBuffer_Release(&b_pi); PyBuffer_Release(&b_A); PyBuffer_Release(&b_ll);
+        PyBuffer_Release(&b_al); PyBuffer_Release(&b_be);
+        return NULL;
+    }
+    if (get_buf(o_xi, &b_xi, 1)) {
+        PyBuffer_Release(&b_pi); PyBuffer_Release(&b_A); PyBuffer_Release(&b_ll);
+        PyBuffer_Release(&b_al); PyBuffer_Release(&b_be); PyBuffer_Release(&b_ga);
         return NULL;
     }
 

@@ -102,7 +102,7 @@ def make_dp_minibatch_svi_step(emission, cfg, num_seqs: int, mesh: Mesh,
     B_local = B // n_dev
     scale = num_seqs / B
 
-    def local(params, prior, obs_shard, key, step_idx):
+    def local(params, prior, obs_shard, key):
         # per-device distinct key
         key = jax.random.fold_in(key, jax.lax.axis_index("data"))
         n_local = obs_shard.shape[0]
@@ -128,9 +128,9 @@ def make_dp_minibatch_svi_step(emission, cfg, num_seqs: int, mesh: Mesh,
         stats = jax.shard_map(
             local,
             mesh=mesh,
-            in_specs=(P(), P(), P("data"), P(), P()),
+            in_specs=(P(), P(), P("data"), P()),
             out_specs=P(),
-        )(params, prior, obs, k_step, state.step)
+        )(params, prior, obs, k_step)
 
         # rho: power schedule, or the elastic adaptive rule (replicated
         # arithmetic on the psum'd stats -> identical on every device)

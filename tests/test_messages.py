@@ -92,6 +92,29 @@ class TestMaskedStats:
         np.testing.assert_allclose(np.array(fb.init_stats), 0.0, atol=1e-12)
 
 
+class TestLengthOne:
+    def test_length_one_sequence_all_methods(self, enable_x64):
+        """T=1 chains (no transitions) work identically in every method."""
+        log_pi, log_A, log_lik = random_problem(T=1, K=4)
+        ref = messages.e_step(
+            jnp.array(log_pi), jnp.array(log_A), jnp.array(log_lik), method="scan"
+        )
+        expect_gamma = np.exp(log_pi + log_lik[0])
+        expect_gamma /= expect_gamma.sum()
+        np.testing.assert_allclose(np.array(ref.gamma[0]), expect_gamma, atol=1e-12)
+        for method in ("assoc", "blocked"):
+            fb = messages.e_step(
+                jnp.array(log_pi), jnp.array(log_A), jnp.array(log_lik), method=method
+            )
+            np.testing.assert_allclose(np.array(fb.gamma), np.array(ref.gamma), atol=1e-10)
+            np.testing.assert_allclose(float(fb.log_z), float(ref.log_z), rtol=1e-12)
+            np.testing.assert_allclose(np.array(fb.trans_stats), 0.0, atol=1e-12)
+        lz = messages.log_normalizer_assoc(
+            jnp.array(log_pi), jnp.array(log_A), jnp.array(log_lik)
+        )
+        np.testing.assert_allclose(float(lz), float(ref.log_z), rtol=1e-12)
+
+
 class TestBufferErrorDecay:
     def test_buffer_error_decays_geometrically(self, enable_x64):
         """Foti et al. §3.2: the error of subchain marginals against the

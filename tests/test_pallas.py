@@ -45,7 +45,8 @@ class TestPallasFB:
         scan path; gamma/log_z are unaffected by weights."""
         log_pi, log_A, ll = problem(B, T, K)
         w = (rng.random((B, T)) > 0.3).astype(np.float32)
-        w[:, 0] = 1.0
+        w[0, 0] = 0.0  # at least one discarded chain start (init gating)
+        w[1, 0] = 1.0  # and one kept
         wj = jnp.array(w)
         fb = pallas_forward_backward_batched(
             log_pi, log_A, ll, weights=wj, interpret=True
@@ -58,6 +59,9 @@ class TestPallasFB:
             np.array(fb.trans_stats), np.array(ref.trans_stats.sum(0)), atol=2e-5
         )
         np.testing.assert_allclose(np.array(fb.log_z), np.array(ref.log_z), rtol=2e-6)
+        np.testing.assert_allclose(
+            np.array(fb.init_stats), np.array(ref.init_stats), atol=2e-6
+        )
 
     def test_engine_batched_dispatch(self):
         """e_step_batched(pallas) == e_step_batched(scan) incl. weights."""
