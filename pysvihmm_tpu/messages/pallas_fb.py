@@ -38,7 +38,12 @@ reduction may sit on the critical path:
     Rabiner-scaled message (normalized by the forward scaling constants).
     Three identities make every per-step scale correction vanish:
       - gamma_t = alpha_raw_t * beta'_t EXACTLY (h_t cancels; the product
-        is the normalized smoothed marginal) — gamma is a pure mul;
+        is the normalized smoothed marginal) — a pure mul. In f32 the
+        cancellation drifts by a per-sequence common-mode scalar (~1e-2 at
+        T=1e3), so the kernel renormalizes gamma_t (and the stats-side d_t)
+        by its per-sequence row sum — a VPU reduce off the beta chain —
+        which recovers ~1e-6 marginals (better than the per-step-normalized
+        scan path, which pays T normalization roundings on the chain);
       - the xi-sum contribution is alpha_raw_{t-1}^T @ d_t with
         d_t = lik_t * beta'_t exactly, EXCEPT at renorm steps where d
         picks up the scalar full-row factor 1/q the forward divided out —
@@ -165,6 +170,26 @@ def _bwd_kernel(
             axis=-1,
         )
 
+    def seg_inv(x):
+        # per-sequence inverse row sums, lane-broadcast back to (R, PK).
+        # The beta' chain drifts by a slowly-accumulating per-sequence
+        # scalar (f32 rounding); dividing gamma_t and the stats-side d_t by
+        # sum(gamma_t) removes that common mode exactly (the residual per-
+        # step drift is O(eps)) — without it, gamma row sums err by ~1e-2
+        # at T=1e3 while the renormalized marginals are accurate to ~1e-6.
+        if P == 1:
+            return 1.0 / jnp.sum(x, axis=-1, keepdims=True)
+        return jnp.concatenate(
+            [
+                jnp.broadcast_to(
+                    1.0 / jnp.sum(x[:, p * K : (p + 1) * K], axis=-1, keepdims=True),
+                    (x.shape[0], K),
+                )
+                for p in range(P)
+            ],
+            axis=-1,
+        )
+
     i = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -198,14 +223,17 @@ def _bwd_kernel(
 
     beta = bcarry[:, :]
     for c in range(C - 1, -1, -1):
-        gamma_ref[c] = alpha_ref[c] * beta
+        graw = alpha_ref[c] * beta
+        inv = seg_inv(graw)  # off the beta chain (outputs only)
+        gamma_ref[c] = graw * inv
         d = (jnp.exp(lik_ref[c]) if log_in else lik_ref[c]) * beta
         if c % m == 0:
             # replay the forward's full-row renorm (scalar per row)
             d = d * v_ref[0, c // m][:, None]
         # stats-side d: gated by the pair mask w_{t-1} w_t (SVI buffer
-        # discard); the beta chain always uses the UNGATED d
-        ds = gate(d, c) if gated else d
+        # discard) and renormalized against the beta-chain scale drift;
+        # the beta chain always uses the UNGATED, un-normalized d
+        ds = (gate(d, c) if gated else d) * inv
         if c > 0:
             acc_ref[:, :] += outer_acc(alpha_ref[c - 1], ds)
         else:

@@ -101,3 +101,33 @@ class TestPallasFB:
         np.testing.assert_allclose(
             np.array(fb.gamma.sum(-1)), 1.0, rtol=1e-5
         )
+
+    def test_long_chain_f64_oracle(self):
+        """Long-chain accuracy regression vs the float64 oracle.
+
+        The f32 beta' chain drifts by a per-sequence common-mode scalar
+        (~1e-2 in gamma row sums at T=600 without in-kernel renormalization);
+        the kernel's per-step gamma/d renormalization must hold marginals to
+        ~1e-6 and summed pairwise stats well below the scan path's error."""
+        from pysvihmm_tpu.oracle import numpy_ref as oracle
+
+        B, T, K = 2, 600, 64
+        r = np.random.default_rng(7)
+        log_pi = np.log(r.dirichlet(np.ones(K)))
+        log_A = np.log(r.dirichlet(np.ones(K), size=K))
+        ll = r.normal(scale=3.0, size=(B, T, K))
+        gams, xis = [], []
+        for b in range(B):
+            _, _, gam, xi, _ = oracle.forward_backward(log_pi, log_A, ll[b])
+            gams.append(gam)
+            xis.append(xi)
+        gam64, xi64 = np.stack(gams), np.stack(xis).sum(0)
+        fb = pallas_forward_backward_batched(
+            jnp.asarray(log_pi, jnp.float32),
+            jnp.asarray(log_A, jnp.float32),
+            jnp.asarray(ll, jnp.float32),
+            interpret=True,
+        )
+        assert np.abs(np.asarray(fb.gamma, np.float64) - gam64).max() < 1e-5
+        np.testing.assert_allclose(np.asarray(fb.gamma).sum(-1), 1.0, atol=1e-5)
+        assert np.abs(np.asarray(fb.trans_stats, np.float64) - xi64).max() < 5e-3
