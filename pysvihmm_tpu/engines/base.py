@@ -21,6 +21,7 @@ from ..models.hmm import (
     expected_log_params,
     global_kl,
 )
+from ..utils.precision import bulk_precision, f32_matmuls
 
 
 class LocalStats(NamedTuple):
@@ -32,6 +33,7 @@ class LocalStats(NamedTuple):
     log_z: jax.Array  # () summed variational log-normalizer
 
 
+@f32_matmuls
 def batch_local_step(
     params: HMMParams,
     emission,
@@ -63,7 +65,11 @@ def batch_local_step(
             obs_tm = jax.lax.optimization_barrier(jnp.swapaxes(obs, 0, 1))
         else:  # int observations (multinomial): tiny, transpose freely
             obs_tm = jnp.swapaxes(obs, 0, 1)
-        ll_tm = emission.expected_log_likelihood(params.emit, obs_tm)  # (T, B, K)
+        # production-scale likelihood einsum: 3-pass "high" (one-shot error,
+        # ~5e-7 relative — utils/precision.py policy), not the 6-pass f32
+        # the engine-wide guard would impose (~7% of the whole E-step)
+        with bulk_precision():
+            ll_tm = emission.expected_log_likelihood(params.emit, obs_tm)  # (T, B, K)
         w_tm = jnp.swapaxes(weights, 0, 1) if weights is not None else None
         fb = pallas_forward_backward_batched(
             log_pi,
@@ -124,6 +130,7 @@ def decode(params: HMMParams, emission, obs: jax.Array) -> jax.Array:
     return jnp.argmax(gamma, axis=-1)
 
 
+@f32_matmuls
 def viterbi_decode(params: HMMParams, emission, obs: jax.Array) -> jax.Array:
     """MAP path under the variational-mean parameters (B, T)."""
     log_pi, log_A = expected_log_params(params)
@@ -131,6 +138,7 @@ def viterbi_decode(params: HMMParams, emission, obs: jax.Array) -> jax.Array:
     return jax.vmap(lambda l: messages.viterbi(log_pi, log_A, l))(ll)
 
 
+@f32_matmuls
 def predictive_log_likelihood(
     params: HMMParams, emission, obs: jax.Array, exact: bool = False
 ) -> jax.Array:
@@ -179,7 +187,9 @@ def _packed_emission_stats(emission, emit_params, gamma_packed, obs_tm, weights_
             feats = feats * weights_tm[..., None]
         f2 = feats.reshape(T * R, P * V)
         acc = jax.lax.dot_general(
-            g2, f2, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            g2, f2, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,  # one-shot bulk sum: bf16
         )
         return sum(acc[p * K : (p + 1) * K, p * V : (p + 1) * V] for p in range(P))
 
@@ -192,8 +202,13 @@ def _packed_emission_stats(emission, emit_params, gamma_packed, obs_tm, weights_
     if weights_tm is not None:
         feats = feats * weights_tm[..., None]
     f2 = feats.reshape(T * R, P * F)
+    # one-shot bulk sum over ~1e6 (t, b) terms: per-term bf16 rounding is
+    # sign-symmetric and averages to ~1e-5 relative in the f32 accumulator
+    # (utils/precision.py policy) — full MXU throughput
     acc = jax.lax.dot_general(
-        g2, f2, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        g2, f2, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
     )
     S = sum(acc[p * K : (p + 1) * K, p * F : (p + 1) * F] for p in range(P))
     return GaussianStats(

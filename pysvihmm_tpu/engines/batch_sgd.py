@@ -18,6 +18,7 @@ from ..distributions import dirichlet
 from ..models.hmm import HMMParams
 from ..utils.schedules import power_schedule
 from .base import batch_local_step, elbo_from_stats
+from ..utils.precision import f32_matmuls
 
 
 class BatchSGDState(NamedTuple):
@@ -27,6 +28,7 @@ class BatchSGDState(NamedTuple):
 
 def make_step(emission, tau: float = 1.0, kappa: float = 0.6, method: str = "scan"):
     @jax.jit
+    @f32_matmuls
     def step(state: BatchSGDState, prior: HMMParams, obs: jax.Array):
         params = state.params
         stats, _ = batch_local_step(params, emission, obs, method)

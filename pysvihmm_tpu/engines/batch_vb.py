@@ -22,6 +22,7 @@ import jax.numpy as jnp
 
 from ..distributions import dirichlet
 from ..models.hmm import HMMParams
+from ..utils.precision import f32_matmuls
 from .base import batch_local_step, elbo_from_stats
 
 
@@ -34,6 +35,7 @@ def make_step(emission, method: str = "scan"):
     """Build the jitted coordinate-ascent step: (params, prior, obs) -> (params', elbo)."""
 
     @partial(jax.jit, static_argnames=())
+    @f32_matmuls
     def step(params: HMMParams, prior: HMMParams, obs: jax.Array):
         stats, _ = batch_local_step(params, emission, obs, method)
         elbo = elbo_from_stats(params, prior, emission, stats.log_z)

@@ -24,6 +24,7 @@ from ..distributions import dirichlet
 from ..models.hmm import HMMParams, emission_flat_stats
 from ..distributions.emissions import GaussianNIW, MultinomialDirichlet
 from .. import messages
+from ..utils.precision import f32_matmuls
 
 
 class GibbsState(NamedTuple):
@@ -69,7 +70,7 @@ def make_sweep(emission, K: int):
 
         return GibbsState(z=z, theta=(pi, A, theta_emit), key=key), metrics
 
-    return jax.jit(sweep)
+    return jax.jit(f32_matmuls(sweep))
 
 
 def init_state(key: jax.Array, prior: HMMParams, emission, obs: jax.Array, K: int) -> GibbsState:

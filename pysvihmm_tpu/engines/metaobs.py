@@ -33,6 +33,7 @@ from ..models.hmm import HMMParams, emission_flat_stats, expected_log_params, gl
 from ..utils.schedules import power_schedule
 from .. import messages
 from .svi import SVIState, _gather_windows, init_state  # shared state pytree
+from ..utils.precision import f32_matmuls
 
 
 class MetaObsConfig(NamedTuple):
@@ -103,7 +104,7 @@ def make_step(emission, cfg: MetaObsConfig, chain_len: int, method: str = "scan"
         metrics = {"rho": rho, "noisy_elbo": noisy_elbo}
         return SVIState(params=new_params, step=state.step + 1, key=key), metrics
 
-    return jax.jit(step)
+    return jax.jit(f32_matmuls(step))
 
 
 def fit(

@@ -39,6 +39,7 @@ from ..distributions import dirichlet
 from ..models.hmm import HMMParams, emission_flat_stats, expected_log_params
 from ..utils.schedules import power_schedule
 from .. import messages
+from ..utils.precision import f32_matmuls
 
 
 class SVIConfig(NamedTuple):
@@ -194,7 +195,7 @@ def make_step(emission, cfg: SVIConfig, chain_len: int, method: str = "scan"):
             metrics,
         )
 
-    return jax.jit(step)
+    return jax.jit(f32_matmuls(step))
 
 
 def fit(
@@ -335,4 +336,4 @@ def make_minibatch_step(emission, cfg: SVIConfig, num_seqs: int, method: str = "
             metrics,
         )
 
-    return jax.jit(step)
+    return jax.jit(f32_matmuls(step))

@@ -125,6 +125,9 @@ def _fwd_kernel(pi_ref, A_ref, lik_ref, alpha_ref, carry, *, C, m, log_in, prec)
         raw_step(carry[:, :], lik0),
     )
     alpha_ref[0] = a
+    # the full-row sum is consumed only every m steps, but computing it
+    # unconditionally schedules better (measured: gating it behind
+    # p % m costs ~2% — it pipelines fine off the chain)
     q = jnp.sum(a, axis=-1, keepdims=True)  # full-row sum, off the chain
     for p in range(1, C):
         if p % m == 0:

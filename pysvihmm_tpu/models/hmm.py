@@ -20,6 +20,7 @@ import jax.numpy as jnp
 
 from ..distributions import dirichlet
 from ..distributions.emissions import GaussianNIW, MultinomialDirichlet
+from ..utils.precision import f32_matmuls
 
 
 class HMMParams(NamedTuple):
@@ -80,6 +81,7 @@ def _farthest_point_means(key: jax.Array, flat: jax.Array, K: int) -> jax.Array:
     return jax.lax.fori_loop(1, K, pick, means0)
 
 
+@f32_matmuls
 def init_params(
     key: jax.Array,
     prior: HMMParams,

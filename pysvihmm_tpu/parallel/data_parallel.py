@@ -29,6 +29,7 @@ from ..engines.svi import SVIState
 from ..models.hmm import HMMParams, emission_flat_stats, expected_log_params, global_kl
 from ..utils.schedules import power_schedule
 from .. import messages
+from ..utils.precision import f32_matmuls
 
 
 def make_mesh(num_devices: int | None = None, devices=None, axis: str = "data") -> Mesh:
@@ -72,6 +73,7 @@ def make_dp_vb_step(emission, mesh: Mesh, method: str = "scan"):
     """Data-parallel coordinate-ascent VB step (engines/batch_vb over a mesh)."""
 
     @jax.jit
+    @f32_matmuls
     def step(params: HMMParams, prior: HMMParams, obs: jax.Array):
         stats = sharded_local_step(params, emission, obs, mesh, method)
         elbo = elbo_from_stats(params, prior, emission, stats.log_z)
@@ -122,6 +124,7 @@ def make_dp_minibatch_svi_step(emission, cfg, num_seqs: int, mesh: Mesh,
         return jax.tree.map(partial(jax.lax.psum, axis_name="data"), stats)
 
     @jax.jit
+    @f32_matmuls
     def step(state: SVIState, prior: HMMParams, obs: jax.Array):
         params = state.params
         key, k_step = jax.random.split(state.key)
@@ -209,6 +212,7 @@ def make_dp_metaobs_step(emission, cfg, chain_len: int, mesh: Mesh,
         return jax.tree.map(partial(jax.lax.psum, axis_name="data"), stats)
 
     @jax.jit
+    @f32_matmuls
     def step(state: SVIState, prior: HMMParams, obs: jax.Array):
         params = state.params
         key, k_blocks = jax.random.split(state.key)
