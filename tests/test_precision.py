@@ -1,0 +1,76 @@
+"""Regression guards for the tiered matmul-precision policy.
+
+utils/precision.py encodes a measured-on-TPU policy (BASELINE.md): chain
+recursions and engine entry points trace at full-f32 ("float32"/HIGHEST —
+JAX's default 1-pass bf16 diverged VB trajectories 6e-2 from the f64
+oracle), while one-shot bulk contractions keep MXU throughput (the packed
+emission stat sums at 1-pass DEFAULT, the likelihood einsum at 3-pass
+HIGH). CPU executes every tier identically, so these tests pin the policy
+where it is visible on any backend: the stablehlo ``precision = [...]``
+attributes of the lowered dots.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from pysvihmm_tpu.data.synthetic import gen_gaussian_dataset
+from pysvihmm_tpu.distributions import GaussianNIW
+from pysvihmm_tpu.engines.base import batch_local_step
+from pysvihmm_tpu.models.hmm import init_params, make_prior
+from pysvihmm_tpu.utils.precision import bulk_precision, f32_matmuls
+
+
+def _dot_lines(lowered_text):
+    return [l for l in lowered_text.splitlines() if "dot_general" in l]
+
+
+def test_f32_matmuls_forces_highest():
+    x = jnp.ones((8, 8))
+    txt = jax.jit(f32_matmuls(lambda a: a @ a)).lower(x).as_text()
+    (line,) = _dot_lines(txt)
+    assert "[HIGHEST, HIGHEST]" in line
+
+
+def test_bulk_precision_overrides_to_high_inside_f32_guard():
+    x = jnp.ones((8, 8))
+
+    def f(a):
+        with bulk_precision():
+            return a @ a
+
+    txt = jax.jit(f32_matmuls(f)).lower(x).as_text()
+    (line,) = _dot_lines(txt)
+    assert "[HIGH, HIGH]" in line
+
+
+def _lower_local_step(method):
+    K, D, B, T = 4, 2, 8, 40
+    obs, _, _ = gen_gaussian_dataset(jax.random.PRNGKey(0), K, D, B, T)
+    prior = make_prior(K, GaussianNIW, obs_dim=D)
+    params = init_params(jax.random.PRNGKey(1), prior, GaussianNIW, obs)
+    fn = jax.jit(lambda p, o: batch_local_step(p, GaussianNIW, o, method))
+    return fn.lower(params, obs).as_text()
+
+
+def test_pallas_path_precision_tiers():
+    """The production E-step carries all three tiers at once."""
+    txt = _lower_local_step("pallas")
+    dots = _dot_lines(txt)
+    # chain / quadratic-form dots under the engine-wide f32 guard (and the
+    # kernels' explicit HIGHEST)
+    assert any("[HIGHEST, HIGHEST]" in l for l in dots)
+    # likelihood einsum under bulk_precision(): 3-pass HIGH
+    assert any("[HIGH, HIGH]" in l for l in dots)
+    # packed emission stat sums: explicit per-op DEFAULT survives the guard
+    assert any("[DEFAULT, DEFAULT]" in l for l in dots)
+
+
+def test_scan_path_has_no_default_precision_dots():
+    """The correctness-first scan path runs entirely under the f32 guard:
+    a DEFAULT-precision dot appearing here means some matmul escaped it."""
+    txt = _lower_local_step("scan")
+    dots = _dot_lines(txt)
+    assert dots, "expected dots in the lowered scan E-step"
+    assert not any("[DEFAULT, DEFAULT]" in l for l in dots)
