@@ -124,7 +124,7 @@ class _HMMBase:
 class VBHMM(_HMMBase):
     """Batch coordinate-ascent VB (reference ``hmmbatchcd.VBHMM``)."""
 
-    def infer(self, maxit: int = 100, tol: float = 1e-8, method: str = "scan"):
+    def infer(self, maxit: int = 100, tol: float = 1e-8, method: str = "auto"):
         # host-side loop so the tolerance stop applies to the PARAMS as well
         # as the history (reference semantics: hmmbatchcd stops iterating at
         # tol); each step is one jitted coordinate-ascent update
@@ -147,7 +147,7 @@ class SGDHMM(_HMMBase):
         super().__init__(obs, K, **kw)
         self.tau, self.kappa = tau, kappa
 
-    def infer(self, maxit: int = 100, method: str = "scan"):
+    def infer(self, maxit: int = 100, method: str = "auto"):
         params, elbos = batch_sgd.fit(
             self.params, self.prior, self.obs, self.emission,
             num_iters=maxit, tau=self.tau, kappa=self.kappa, method=method,
@@ -179,7 +179,7 @@ class SVIHMM(_HMMBase):
             tau=tau, kappa=kappa,
         )
 
-    def infer(self, maxit: int = 500, method: str = "scan", seed: int = 0):
+    def infer(self, maxit: int = 500, method: str = "auto", seed: int = 0):
         chain = self.obs[0]
         state = svi.init_state(self.params, jax.random.PRNGKey(seed))
         state = state._replace(step=jnp.asarray(len(self.elbo_history), jnp.int32))
@@ -199,7 +199,7 @@ class MinibatchSVIHMM(_HMMBase):
         super().__init__(obs, K, **kw)
         self.cfg = svi.SVIConfig(batch_size=batch_size, tau=tau, kappa=kappa)
 
-    def infer(self, maxit: int = 500, method: str = "scan", seed: int = 0):
+    def infer(self, maxit: int = 500, method: str = "auto", seed: int = 0):
         state = svi.init_state(self.params, jax.random.PRNGKey(seed))
         state, metrics = svi.fit_minibatch(
             state, self.prior, self.obs, self.emission, self.cfg, maxit, method
@@ -222,7 +222,7 @@ class MetaObsHMM(_HMMBase):
             tau=tau, kappa=kappa,
         )
 
-    def infer(self, maxit: int = 500, method: str = "scan", seed: int = 0):
+    def infer(self, maxit: int = 500, method: str = "auto", seed: int = 0):
         chain = self.obs[0]
         state = svi.init_state(self.params, jax.random.PRNGKey(seed))
         state, metrics = metaobs.fit(

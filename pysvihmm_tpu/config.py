@@ -36,7 +36,7 @@ class SVIHyperConfig:
 class RunConfig:
     engine: str = "batch_vb"  # batch_vb | batch_sgd | svi | metaobs | gibbs
     num_iters: int = 100
-    method: str = "scan"  # e-step kernel: scan | assoc | grad
+    method: str = "auto"  # e-step kernel: auto | pallas | scan | assoc | grad
     seed: int = 0
     mesh_devices: int = 0  # 0 = all
     checkpoint_dir: str = ""

@@ -38,7 +38,7 @@ def batch_local_step(
     params: HMMParams,
     emission,
     obs: jax.Array,
-    method: str = "scan",
+    method: str = "auto",
     weights: jax.Array | None = None,
 ) -> tuple[LocalStats, jax.Array]:
     """Full local update over a batch of sequences.
@@ -46,9 +46,11 @@ def batch_local_step(
     obs: (B, T, D) float or (B, T) int. weights: optional (B, T) kept-mask.
     Returns (summed stats, gamma (B, T, K)). method="pallas" runs the fused
     lane-packed kernels (messages/pallas_fb.py) with packed emission stats;
-    other methods batch via messages.e_step_batched (vmapped, each scan step
-    a (B, K) @ (K, K) MXU matmul).
+    "auto" (default) resolves to pallas on TPU and scan elsewhere; other
+    methods batch via messages.e_step_batched (vmapped, each scan step a
+    (B, K) @ (K, K) MXU matmul).
     """
+    method = messages.resolve_method(method)
     log_pi, log_A = expected_log_params(params)
 
     if method == "pallas":
@@ -117,7 +119,7 @@ def elbo_from_stats(
 
 
 def lower_bound(
-    params: HMMParams, prior: HMMParams, emission, obs: jax.Array, method: str = "scan"
+    params: HMMParams, prior: HMMParams, emission, obs: jax.Array, method: str = "auto"
 ) -> jax.Array:
     """Exact full-data ELBO at the current global state (fresh local step)."""
     stats, _ = batch_local_step(params, emission, obs, method)

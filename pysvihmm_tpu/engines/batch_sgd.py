@@ -26,7 +26,7 @@ class BatchSGDState(NamedTuple):
     step: jax.Array
 
 
-def make_step(emission, tau: float = 1.0, kappa: float = 0.6, method: str = "scan"):
+def make_step(emission, tau: float = 1.0, kappa: float = 0.6, method: str = "auto"):
     @jax.jit
     @f32_matmuls
     def step(state: BatchSGDState, prior: HMMParams, obs: jax.Array):
@@ -54,7 +54,7 @@ def fit(
     num_iters: int = 100,
     tau: float = 1.0,
     kappa: float = 0.6,
-    method: str = "scan",
+    method: str = "auto",
 ) -> tuple[HMMParams, jax.Array]:
     step = make_step(emission, tau, kappa, method)
     state = BatchSGDState(params=params, step=jnp.asarray(0, jnp.int32))

@@ -31,7 +31,7 @@ class BatchVBState(NamedTuple):
     elbo: jax.Array  # ELBO at the params that *produced* the last local step
 
 
-def make_step(emission, method: str = "scan"):
+def make_step(emission, method: str = "auto"):
     """Build the jitted coordinate-ascent step: (params, prior, obs) -> (params', elbo)."""
 
     @partial(jax.jit, static_argnames=())
@@ -55,7 +55,7 @@ def fit(
     obs: jax.Array,
     emission,
     num_iters: int = 100,
-    method: str = "scan",
+    method: str = "auto",
 ) -> tuple[HMMParams, jax.Array]:
     """Run `num_iters` coordinate-ascent iterations as one compiled scan.
 

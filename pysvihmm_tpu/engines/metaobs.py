@@ -44,7 +44,7 @@ class MetaObsConfig(NamedTuple):
     kappa: float = 0.6
 
 
-def make_step(emission, cfg: MetaObsConfig, chain_len: int, method: str = "scan"):
+def make_step(emission, cfg: MetaObsConfig, chain_len: int, method: str = "auto"):
     M, Lm, b = cfg.minibatch, cfg.block_len, cfg.buffer
     T = chain_len
     if T % Lm != 0:
@@ -114,7 +114,7 @@ def fit(
     emission,
     cfg: MetaObsConfig,
     num_steps: int,
-    method: str = "scan",
+    method: str = "auto",
 ) -> tuple[SVIState, dict]:
     step = make_step(emission, cfg, obs.shape[0], method)
 

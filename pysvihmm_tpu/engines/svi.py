@@ -108,7 +108,7 @@ def _gather_windows(obs: jax.Array, window_starts: jax.Array, W: int) -> jax.Arr
     return jax.vmap(one)(window_starts)
 
 
-def make_step(emission, cfg: SVIConfig, chain_len: int, method: str = "scan"):
+def make_step(emission, cfg: SVIConfig, chain_len: int, method: str = "auto"):
     """Build the jitted SVI step for a single chain of static length T.
 
     Returns step(state, prior, obs) -> (state', metrics dict).
@@ -205,7 +205,7 @@ def fit(
     emission,
     cfg: SVIConfig,
     num_steps: int,
-    method: str = "scan",
+    method: str = "auto",
 ) -> tuple[SVIState, dict]:
     """Run num_steps SVI updates as one compiled scan over device-side state."""
     step = make_step(emission, cfg, obs.shape[0], method)
@@ -225,7 +225,7 @@ def fit_minibatch(
     emission,
     cfg: SVIConfig,
     num_steps: int,
-    method: str = "scan",
+    method: str = "auto",
 ) -> tuple[SVIState, dict]:
     """Run num_steps minibatch-of-sequences SVI updates as one compiled scan."""
     step = make_minibatch_step(emission, cfg, obs.shape[0], method)
@@ -287,7 +287,7 @@ def select_buffer(
         b = b2
 
 
-def make_minibatch_step(emission, cfg: SVIConfig, num_seqs: int, method: str = "scan"):
+def make_minibatch_step(emission, cfg: SVIConfig, num_seqs: int, method: str = "auto"):
     """SVI over minibatches of whole sequences from a (N, T, ...) dataset.
 
     The many-independent-sequences regime (BASELINE config 5): B sequences

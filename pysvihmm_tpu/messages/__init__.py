@@ -53,20 +53,38 @@ def e_step_grad(
     )
 
 
+def resolve_method(method: str) -> str:
+    """Resolve the user-facing ``method="auto"`` to a concrete E-step path.
+
+    On a TPU backend the fused Pallas kernels are the production path
+    (~1.5x the scan path at the benchmark shape — BASELINE.md); everywhere
+    else they would run under the slow Pallas interpreter, so "auto" picks
+    the `lax.scan` path. Resolution happens at trace time (backend choice
+    is static under jit).
+    """
+    if method == "auto":
+        from .pallas_fb import on_tpu
+
+        return "pallas" if on_tpu() else "scan"
+    return method
+
+
 def e_step_batched(
     log_pi: jax.Array,
     log_A: jax.Array,
     log_lik: jax.Array,  # (B, T, K)
     weights: jax.Array | None = None,  # (B, T) kept-mask
-    method: str = "scan",
+    method: str = "auto",
 ) -> FBResult:
     """Batched E-step over (B, T, K) likelihoods — the engines' entry point.
 
     Contract: gamma (B, T, K), log_z (B,), log_c (B, T), init_stats (B, K)
     per sequence; trans_stats ALWAYS summed over the batch, shape (K, K)
     (what every global update consumes). method="pallas" runs the fused
-    TPU kernels (interpreted off-TPU); other methods vmap :func:`e_step`.
+    TPU kernels (interpreted off-TPU); "auto" (default) resolves to pallas
+    on TPU and scan elsewhere; other methods vmap :func:`e_step`.
     """
+    method = resolve_method(method)
     if method == "pallas":
         from .pallas_fb import on_tpu, pallas_forward_backward_batched
 

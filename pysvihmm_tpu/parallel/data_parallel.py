@@ -50,7 +50,7 @@ def replicate(tree, mesh: Mesh):
     return jax.device_put(tree, NamedSharding(mesh, P()))
 
 
-def sharded_local_step(params, emission, obs, mesh, method: str = "scan"):
+def sharded_local_step(params, emission, obs, mesh, method: str = "auto"):
     """shard_map'd batch local step: per-shard vmapped FB, psum'd stats.
 
     obs: (B, T, ...) with B divisible by mesh size. Returns LocalStats
@@ -69,7 +69,7 @@ def sharded_local_step(params, emission, obs, mesh, method: str = "scan"):
     )(params, obs)
 
 
-def make_dp_vb_step(emission, mesh: Mesh, method: str = "scan"):
+def make_dp_vb_step(emission, mesh: Mesh, method: str = "auto"):
     """Data-parallel coordinate-ascent VB step (engines/batch_vb over a mesh)."""
 
     @jax.jit
@@ -88,7 +88,7 @@ def make_dp_vb_step(emission, mesh: Mesh, method: str = "scan"):
 
 
 def make_dp_minibatch_svi_step(emission, cfg, num_seqs: int, mesh: Mesh,
-                               method: str = "scan"):
+                               method: str = "auto"):
     """Data-parallel minibatch-of-sequences SVI (engines/svi.make_minibatch_step
     over a mesh): each device samples B/n sequences from its local shard view,
     local steps run shard-parallel, stats psum over the mesh.
@@ -111,16 +111,9 @@ def make_dp_minibatch_svi_step(emission, cfg, num_seqs: int, mesh: Mesh,
         idx = jax.random.randint(key, (B_local,), 0, n_local)
         batch = obs_shard[idx]
 
-        log_pi, log_A = expected_log_params(params)
-        ll = emission.expected_log_likelihood(params.emit, batch)
-        fb = jax.vmap(lambda l: messages.e_step(log_pi, log_A, l, method=method))(ll)
-        emit_stats = emission_flat_stats(emission, params.emit, fb.gamma, batch)
-        stats = LocalStats(
-            init=jnp.sum(fb.init_stats, 0),
-            trans=jnp.sum(fb.trans_stats, 0),
-            emit=emit_stats,
-            log_z=jnp.sum(fb.log_z),
-        )
+        # unified batched local step: resolves method="auto" (pallas on TPU,
+        # with packed emission stats) and already sums stats over the shard
+        stats, _ = batch_local_step(params, emission, batch, method)
         return jax.tree.map(partial(jax.lax.psum, axis_name="data"), stats)
 
     @jax.jit
@@ -162,7 +155,7 @@ def make_dp_minibatch_svi_step(emission, cfg, num_seqs: int, mesh: Mesh,
 
 
 def make_dp_metaobs_step(emission, cfg, chain_len: int, mesh: Mesh,
-                         method: str = "scan"):
+                         method: str = "auto"):
     """Data-parallel meta-observation SVI: the direct TPU translation of the
     reference's Pool-parallel ``hmmsgd_metaobs`` engine. The chain is
     replicated (windows are gathered per device); the minibatch of blocks is
@@ -196,16 +189,16 @@ def make_dp_metaobs_step(emission, cfg, chain_len: int, mesh: Mesh,
         )
         log_pi, log_A = expected_log_params(params)
         ll = emission.expected_log_likelihood(params.emit, windows)
-        fb = jax.vmap(
-            lambda l, w: messages.e_step(log_pi, log_A, l, weights=w, method=method)
-        )(ll, maskf)
+        # batched dispatch resolves "auto" (pallas on TPU); trans_stats come
+        # back already pair-gated by the mask and summed over the shard
+        fb = messages.e_step_batched(log_pi, log_A, ll, weights=maskf, method=method)
         gamma_w = fb.gamma * maskf[..., None]
         emit_stats = emission_flat_stats(emission, params.emit, gamma_w, windows)
         gamma_at_start = jax.vmap(lambda g, o: g[o])(fb.gamma, offs)
         is_first = (block_ids_shard == 0).astype(params.init.dtype)[:, None]
         stats = LocalStats(
             init=jnp.sum(gamma_at_start * is_first, 0),
-            trans=jnp.sum(fb.trans_stats, 0),
+            trans=fb.trans_stats,
             emit=emit_stats,
             log_z=jnp.sum(fb.log_c * maskf),
         )

@@ -102,6 +102,34 @@ class TestPallasFB:
             np.array(fb.gamma.sum(-1)), 1.0, rtol=1e-5
         )
 
+    def test_auto_method_resolution(self, monkeypatch):
+        """Engines default to method="auto": pallas on TPU, scan elsewhere
+        (resolved at trace time — messages.resolve_method)."""
+        from pysvihmm_tpu.messages import pallas_fb, resolve_method
+
+        assert resolve_method("auto") == "scan"  # CPU test harness
+        assert resolve_method("pallas") == "pallas"  # explicit passes through
+        assert resolve_method("blocked") == "blocked"
+        monkeypatch.setattr(pallas_fb, "on_tpu", lambda: True)
+        assert resolve_method("auto") == "pallas"
+
+    def test_engine_default_method_end_to_end(self):
+        """batch_local_step with its default method agrees with explicit scan."""
+        from pysvihmm_tpu.data.synthetic import gen_gaussian_dataset
+        from pysvihmm_tpu.distributions import GaussianNIW
+        from pysvihmm_tpu.engines.base import batch_local_step
+        from pysvihmm_tpu.models.hmm import init_params, make_prior
+
+        obs, _, _ = gen_gaussian_dataset(jax.random.PRNGKey(0), 3, 2, 4, 30)
+        prior = make_prior(3, GaussianNIW, obs_dim=2)
+        params = init_params(jax.random.PRNGKey(1), prior, GaussianNIW, obs)
+        auto_stats, auto_gamma = batch_local_step(params, GaussianNIW, obs)
+        scan_stats, scan_gamma = batch_local_step(params, GaussianNIW, obs, "scan")
+        np.testing.assert_array_equal(np.array(auto_gamma), np.array(scan_gamma))
+        np.testing.assert_array_equal(
+            np.array(auto_stats.trans), np.array(scan_stats.trans)
+        )
+
     def test_long_chain_f64_oracle(self):
         """Long-chain accuracy regression vs the float64 oracle.
 
