@@ -50,53 +50,17 @@ def batch_local_step(
     methods batch via messages.e_step_batched (vmapped, each scan step a
     (B, K) @ (K, K) MXU matmul).
     """
-    method = messages.resolve_method(method)
-    log_pi, log_A = expected_log_params(params)
+    method = messages.resolve_method(method, time_len=obs.shape[1])
 
     if method == "pallas":
-        from ..messages.pallas_fb import on_tpu, pallas_forward_backward_batched
-
-        # compute the likelihoods TIME-MAJOR so no 4*T*B*K-byte transpose
-        # feeds the kernel; the barrier forces the (B, T, D) observation
-        # transpose (D << K, cheap) to MATERIALIZE — otherwise XLA folds it
-        # into the likelihood einsum's output layout (time-minor), which
-        # the kernel can't accept, and re-lays-out the full likelihood
-        # array twice instead.
-        obs_tm = obs
-        if obs.ndim == 3:
-            obs_tm = jax.lax.optimization_barrier(jnp.swapaxes(obs, 0, 1))
-        else:  # int observations (multinomial): tiny, transpose freely
-            obs_tm = jnp.swapaxes(obs, 0, 1)
-        # production-scale likelihood einsum: 3-pass "high" (one-shot error,
-        # ~5e-7 relative — utils/precision.py policy), not the 6-pass f32
-        # the engine-wide guard would impose (~7% of the whole E-step)
-        with bulk_precision():
-            ll_tm = emission.expected_log_likelihood(params.emit, obs_tm)  # (T, B, K)
-        w_tm = jnp.swapaxes(weights, 0, 1) if weights is not None else None
-        fb = pallas_forward_backward_batched(
-            log_pi,
-            log_A,
-            ll_tm,
-            weights=w_tm,
-            time_major=True,
-            packed_gamma=True,
-            # Mosaic requires a TPU; everywhere else run the same kernels
-            # under the pallas interpreter (tests, CPU fallback)
-            interpret=not on_tpu(),
-        )
-        # Emission stats read gamma in its PACKED kernel layout (no XLA
-        # re-layout copy of the whole array); weights fold into the
-        # feature side: sum_n (gamma_n w_n) f_n = sum_n gamma_n (w_n f_n).
-        gamma_packed = fb.gamma  # (T, B/P, P*K)
-        emit_stats = _packed_emission_stats(
-            emission, params.emit, gamma_packed, obs_tm, weights_tm=w_tm
-        )
+        fb, emit_stats = _pallas_packed_estep(params, emission, obs, weights)
         B, T = obs.shape[0], obs.shape[1]
         K = params.init.shape[0]
         fb = fb._replace(
-            gamma=jnp.swapaxes(gamma_packed.reshape(T, B, K), 0, 1)
+            gamma=jnp.swapaxes(fb.gamma.reshape(T, B, K), 0, 1)
         )
     else:
+        log_pi, log_A = expected_log_params(params)
         ll = emission.expected_log_likelihood(params.emit, obs)  # (B, T, K)
         fb = messages.e_step_batched(log_pi, log_A, ll, weights=weights, method=method)
         gamma_w = fb.gamma if weights is None else fb.gamma * weights[..., None]
@@ -109,6 +73,98 @@ def batch_local_step(
         log_z=jnp.sum(fb.log_z),
     )
     return stats, fb.gamma
+
+
+def _pallas_packed_estep(params, emission, obs, weights=None):
+    """Fused-kernel E-step with gamma left in the kernels' PACKED layout.
+
+    Shared by :func:`batch_local_step` and :func:`windowed_local_step`.
+    Returns (FBResult with gamma (T, B/P, P*K), summed emission stats).
+    """
+    from ..messages.pallas_fb import on_tpu, pallas_forward_backward_batched
+
+    log_pi, log_A = expected_log_params(params)
+    # compute the likelihoods TIME-MAJOR so no 4*T*B*K-byte transpose
+    # feeds the kernel; the barrier forces the (B, T, D) observation
+    # transpose (D << K, cheap) to MATERIALIZE — otherwise XLA folds it
+    # into the likelihood einsum's output layout (time-minor), which
+    # the kernel can't accept, and re-lays-out the full likelihood
+    # array twice instead.
+    if obs.ndim == 3:
+        obs_tm = jax.lax.optimization_barrier(jnp.swapaxes(obs, 0, 1))
+    else:  # int observations (multinomial): tiny, transpose freely
+        obs_tm = jnp.swapaxes(obs, 0, 1)
+    # production-scale likelihood einsum: 3-pass "high" (one-shot error,
+    # ~5e-7 relative — utils/precision.py policy), not the 6-pass f32
+    # the engine-wide guard would impose (~7% of the whole E-step)
+    with bulk_precision():
+        ll_tm = emission.expected_log_likelihood(params.emit, obs_tm)  # (T, B, K)
+    w_tm = jnp.swapaxes(weights, 0, 1) if weights is not None else None
+    fb = pallas_forward_backward_batched(
+        log_pi,
+        log_A,
+        ll_tm,
+        weights=w_tm,
+        time_major=True,
+        packed_gamma=True,
+        # Mosaic requires a TPU; everywhere else run the same kernels
+        # under the pallas interpreter (tests, CPU fallback)
+        interpret=not on_tpu(),
+    )
+    # Emission stats read gamma in its PACKED kernel layout (no XLA
+    # re-layout copy of the whole array); weights fold into the
+    # feature side: sum_n (gamma_n w_n) f_n = sum_n gamma_n (w_n f_n).
+    emit_stats = _packed_emission_stats(
+        emission, params.emit, fb.gamma, obs_tm, weights_tm=w_tm
+    )
+    return fb, emit_stats
+
+
+def windowed_local_step(
+    params: HMMParams,
+    emission,
+    windows: jax.Array,  # (B, W, D) float or (B, W) int
+    maskf: jax.Array,  # (B, W) kept-mask (0/1 floats)
+    offs: jax.Array,  # (B,) kept-region offset inside each window
+    method: str = "auto",
+) -> tuple[object, jax.Array, jax.Array, jax.Array]:
+    """Shared local step of the windowed engines (svi/metaobs subchains).
+
+    Returns (emit_stats, trans_stats, gamma_at_off, log_c): emission stats
+    kept-mask-gated and summed over windows; trans_stats pair-gated and
+    summed (shape (K, K)); gamma_at_off (B, K) = each window's smoothed
+    marginal at its kept-region offset (the initial-state stats site);
+    log_c (B, W) per-step log normalizers (mask applies to their sum).
+
+    On the pallas path gamma stays in the kernels' packed layout end to end
+    (emission stats read it packed; gamma_at_off is a tiny per-window
+    gather), so no whole-array (B,W,K)<->(W,B,K) re-layout copies are paid.
+    """
+    method = messages.resolve_method(method, time_len=windows.shape[1])
+    if method == "pallas":
+        fb, emit_stats = _pallas_packed_estep(params, emission, windows, maskf)
+        gamma_packed = fb.gamma  # (W, R, P*K)
+        B = windows.shape[0]
+        K = params.init.shape[0]
+        P = gamma_packed.shape[-1] // K
+
+        def gather_at(i, o):
+            # window i lives in packed row i // P, lane block i % P
+            blk = jax.lax.dynamic_slice(
+                gamma_packed, (o, i // P, (i % P) * K), (1, 1, K)
+            )
+            return blk.reshape(K)
+
+        gamma_at = jax.vmap(gather_at)(jnp.arange(B), offs)
+        return emit_stats, fb.trans_stats, gamma_at, fb.log_c
+
+    log_pi, log_A = expected_log_params(params)
+    ll = emission.expected_log_likelihood(params.emit, windows)
+    fb = messages.e_step_batched(log_pi, log_A, ll, weights=maskf, method=method)
+    gamma_w = fb.gamma * maskf[..., None]
+    emit_stats = emission_flat_stats(emission, params.emit, gamma_w, windows)
+    gamma_at = jax.vmap(lambda g, o: g[o])(fb.gamma, offs)
+    return emit_stats, fb.trans_stats, gamma_at, fb.log_c
 
 
 def elbo_from_stats(

@@ -29,9 +29,10 @@ import jax
 import jax.numpy as jnp
 
 from ..distributions import dirichlet
-from ..models.hmm import HMMParams, emission_flat_stats, expected_log_params, global_kl
+from ..models.hmm import HMMParams, global_kl
 from ..utils.schedules import power_schedule
 from .. import messages
+from .base import windowed_local_step
 from .svi import SVIState, _gather_windows, init_state  # shared state pytree
 from ..utils.precision import f32_matmuls
 
@@ -53,6 +54,15 @@ def make_step(emission, cfg: MetaObsConfig, chain_len: int, method: str = "auto"
     if M > num_blocks:
         raise ValueError("minibatch larger than number of meta-observations")
     W = Lm + 2 * b
+    b_left = b
+    if messages.resolve_method(method) == "pallas" and W < T:
+        # round the window up to a multiple of 8 so the fused kernels get a
+        # clean time tile (same policy as engines/svi.make_step); the extra
+        # steps are pure additional buffer
+        pad = min(-W % 8, T - W)
+        b_left += pad // 2
+        W += pad
+    method = messages.resolve_method(method, time_len=W)
 
     scale_trans = (T - 1.0) / (M * max(Lm - 1, 1))
     scale_emit = num_blocks / M
@@ -65,7 +75,7 @@ def make_step(emission, cfg: MetaObsConfig, chain_len: int, method: str = "auto"
         # Sample M distinct block ids (without replacement, Pool-task style).
         block_ids = jax.random.choice(k_blocks, num_blocks, (M,), replace=False)
         starts = block_ids * Lm
-        ws = jnp.clip(starts - b, 0, T - W)
+        ws = jnp.clip(starts - b_left, 0, T - W)
         offs = starts - ws
         windows = _gather_windows(obs, ws, W)
 
@@ -73,16 +83,11 @@ def make_step(emission, cfg: MetaObsConfig, chain_len: int, method: str = "auto"
         mask = (pos >= offs[:, None]) & (pos < offs[:, None] + Lm)
         maskf = mask.astype(params.init.dtype)
 
-        log_pi, log_A = expected_log_params(params)
-        ll = emission.expected_log_likelihood(params.emit, windows)
-        # The Pool.map analog: batched local steps (shard over mesh upstream).
-        fb = messages.e_step_batched(log_pi, log_A, ll, weights=maskf, method=method)
-
-        gamma_w = fb.gamma * maskf[..., None]
-        emit_stats = emission_flat_stats(emission, params.emit, gamma_w, windows)
-        trans_stats = fb.trans_stats  # batch-summed by e_step_batched
-
-        gamma_at_start = jax.vmap(lambda g, o: g[o])(fb.gamma, offs)
+        # The Pool.map analog: shared batched windowed local step
+        # (engines/base.py; shard over mesh upstream).
+        emit_stats, trans_stats, gamma_at_start, log_c = windowed_local_step(
+            params, emission, windows, maskf, offs, method
+        )
         is_first_block = (block_ids == 0).astype(params.init.dtype)[:, None]
         init_stats = jnp.sum(gamma_at_start * is_first_block, axis=0)
 
@@ -99,7 +104,7 @@ def make_step(emission, cfg: MetaObsConfig, chain_len: int, method: str = "auto"
             ),
         )
 
-        local_mass = jnp.sum(fb.log_c * maskf)
+        local_mass = jnp.sum(log_c * maskf)
         noisy_elbo = scale_emit * local_mass - global_kl(params, prior, emission)
         metrics = {"rho": rho, "noisy_elbo": noisy_elbo}
         return SVIState(params=new_params, step=state.step + 1, key=key), metrics

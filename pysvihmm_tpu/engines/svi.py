@@ -36,9 +36,10 @@ import jax
 import jax.numpy as jnp
 
 from ..distributions import dirichlet
-from ..models.hmm import HMMParams, emission_flat_stats, expected_log_params
+from ..models.hmm import HMMParams, expected_log_params
 from ..utils.schedules import power_schedule
 from .. import messages
+from .base import batch_local_step, windowed_local_step
 from ..utils.precision import f32_matmuls
 
 
@@ -117,7 +118,7 @@ def make_step(emission, cfg: SVIConfig, chain_len: int, method: str = "auto"):
     T = chain_len
     W = L + 2 * b
     b_left = b
-    if method == "pallas" and W < T:
+    if messages.resolve_method(method) == "pallas" and W < T:
         # round the window up to a multiple of 8 so the fused kernels get a
         # clean time tile (otherwise the tiler falls back to unrolling the
         # whole window); the extra steps are pure additional buffer, which
@@ -125,6 +126,9 @@ def make_step(emission, cfg: SVIConfig, chain_len: int, method: str = "auto"):
         pad = min(-W % 8, T - W)
         b_left += pad // 2
         W += pad
+    # re-resolve against the final window length: "auto" falls back to scan
+    # when no bounded time tile exists (e.g. prime W == T, un-paddable)
+    method = messages.resolve_method(method, time_len=W)
     if W > T:
         raise ValueError(f"window {W} longer than chain {T}")
     num_starts = T - L + 1
@@ -146,18 +150,16 @@ def make_step(emission, cfg: SVIConfig, chain_len: int, method: str = "auto"):
         mask = (pos >= offs[:, None]) & (pos < offs[:, None] + L)  # (B, W)
         maskf = mask.astype(params.init.dtype)
 
-        log_pi, log_A = expected_log_params(params)
-        ll = emission.expected_log_likelihood(params.emit, windows)  # (B, W, K)
-        fb = messages.e_step_batched(log_pi, log_A, ll, weights=maskf, method=method)
-
-        # Emission stats over kept positions only.
-        gamma_w = fb.gamma * maskf[..., None]
-        emit_stats = emission_flat_stats(emission, params.emit, gamma_w, windows)
-        trans_stats = fb.trans_stats  # batch-summed by e_step_batched
+        # Shared windowed local step (engines/base.py): masked emission
+        # stats, pair-gated batch-summed trans stats, per-window gamma at
+        # the kept-region offset, per-step log normalizers. On TPU this is
+        # the packed pallas path end to end (no whole-array layout copies).
+        emit_stats, trans_stats, gamma_at_start, log_c = windowed_local_step(
+            params, emission, windows, maskf, offs, method
+        )
 
         # Initial-state stats: gamma at the chain start, only for windows
         # whose subchain begins at t=0; unbiased via inverse inclusion prob.
-        gamma_at_start = jax.vmap(lambda g, o: g[o])(fb.gamma, offs)  # (B, K)
         is_chain_start = (starts == 0).astype(params.init.dtype)[:, None]
         init_stats = jnp.sum(gamma_at_start * is_chain_start, axis=0)
 
@@ -186,7 +188,7 @@ def make_step(emission, cfg: SVIConfig, chain_len: int, method: str = "auto"):
         # minus the global KL (the reference's "stochastic lower bound").
         from ..models.hmm import global_kl
 
-        local_mass = jnp.sum(fb.log_c * maskf)
+        local_mass = jnp.sum(log_c * maskf)
         noisy_elbo = scale_emit * local_mass - global_kl(params, prior, emission)
 
         metrics = {"rho": rho, "noisy_elbo": noisy_elbo}
@@ -305,13 +307,10 @@ def make_minibatch_step(emission, cfg: SVIConfig, num_seqs: int, method: str = "
         idx = jax.random.randint(k_idx, (B,), 0, N)
         batch = obs[idx]
 
-        log_pi, log_A = expected_log_params(params)
-        ll = emission.expected_log_likelihood(params.emit, batch)
-        fb = messages.e_step_batched(log_pi, log_A, ll, method=method)
-
-        emit_stats = emission_flat_stats(emission, params.emit, fb.gamma, batch)
-        init_stats = jnp.sum(fb.init_stats, 0)
-        trans_stats = fb.trans_stats  # batch-summed by e_step_batched
+        # unified batched local step (engines/base.py): packed pallas path
+        # on TPU (no layout copies), scan elsewhere; stats arrive summed
+        stats, _ = batch_local_step(params, emission, batch, method)
+        emit_stats, init_stats, trans_stats = stats.emit, stats.init, stats.trans
 
         target = HMMParams(
             init=dirichlet.posterior(prior.init, scale * init_stats),
@@ -329,7 +328,7 @@ def make_minibatch_step(emission, cfg: SVIConfig, num_seqs: int, method: str = "
         )
         from ..models.hmm import global_kl
 
-        noisy_elbo = scale * jnp.sum(fb.log_z) - global_kl(params, prior, emission)
+        noisy_elbo = scale * stats.log_z - global_kl(params, prior, emission)
         metrics = {"rho": rho, "noisy_elbo": noisy_elbo}
         return (
             SVIState(params=new_params, step=state.step + 1, key=key, adapt=new_adapt),

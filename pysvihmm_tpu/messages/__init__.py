@@ -53,19 +53,36 @@ def e_step_grad(
     )
 
 
-def resolve_method(method: str) -> str:
+def _pallas_time_tileable(T: int) -> bool:
+    """True when the fused kernels' tiler (pallas_fb._choose_tiles) can pick
+    a bounded (<= 32-step) time tile for this chain length: either the whole
+    axis is short, or T has a divisor in [2, 32]. A prime-ish T would force
+    the kernels to statically unroll the entire time axis (Mosaic compile
+    blow-up), so "auto" avoids pallas for such shapes."""
+    return T <= 32 or any(T % c == 0 for c in range(2, 33))
+
+
+def resolve_method(method: str, time_len: int | None = None) -> str:
     """Resolve the user-facing ``method="auto"`` to a concrete E-step path.
 
     On a TPU backend the fused Pallas kernels are the production path
     (~1.5x the scan path at the benchmark shape — BASELINE.md); everywhere
     else they would run under the slow Pallas interpreter, so "auto" picks
-    the `lax.scan` path. Resolution happens at trace time (backend choice
-    is static under jit).
+    the `lax.scan` path. When ``time_len`` is given, "auto" also falls back
+    to scan for chain lengths the kernel tiler cannot tile (see
+    :func:`_pallas_time_tileable`) — engines that can pad their windows to a
+    multiple of 8 do so *before* this check (svi/metaobs ``make_step``).
+    Resolution happens at trace time (backend choice is static under jit);
+    an explicit method string always passes through untouched.
     """
     if method == "auto":
         from .pallas_fb import on_tpu
 
-        return "pallas" if on_tpu() else "scan"
+        if not on_tpu():
+            return "scan"
+        if time_len is not None and not _pallas_time_tileable(time_len):
+            return "scan"
+        return "pallas"
     return method
 
 
@@ -84,7 +101,7 @@ def e_step_batched(
     TPU kernels (interpreted off-TPU); "auto" (default) resolves to pallas
     on TPU and scan elsewhere; other methods vmap :func:`e_step`.
     """
-    method = resolve_method(method)
+    method = resolve_method(method, time_len=log_lik.shape[1])
     if method == "pallas":
         from .pallas_fb import on_tpu, pallas_forward_backward_batched
 

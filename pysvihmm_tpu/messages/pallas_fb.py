@@ -81,10 +81,12 @@ def on_tpu() -> bool:
 
     `jax.default_backend()` alone is wrong under an explicit CPU default
     device (the test harness pins CPU while a TPU plugin is registered).
+    Whitelist platform == "tpu": any other plugin backend (e.g. METAL)
+    cannot lower Mosaic kernels and must not be routed to them.
     """
     dd = jax.config.jax_default_device
     if dd is not None:
-        return getattr(dd, "platform", "") not in ("cpu", "gpu")
+        return getattr(dd, "platform", "") == "tpu"
     return jax.default_backend() == "tpu"
 
 

@@ -24,9 +24,14 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..distributions import dirichlet
-from ..engines.base import LocalStats, batch_local_step, elbo_from_stats
+from ..engines.base import (
+    LocalStats,
+    batch_local_step,
+    elbo_from_stats,
+    windowed_local_step,
+)
 from ..engines.svi import SVIState
-from ..models.hmm import HMMParams, emission_flat_stats, expected_log_params, global_kl
+from ..models.hmm import HMMParams, global_kl
 from ..utils.schedules import power_schedule
 from .. import messages
 from ..utils.precision import f32_matmuls
@@ -66,6 +71,9 @@ def sharded_local_step(params, emission, obs, mesh, method: str = "auto"):
         mesh=mesh,
         in_specs=(P(), P("data")),
         out_specs=P(),
+        # pallas_call outputs don't carry mesh-axis variance (vma) metadata;
+        # the stats are psum-reduced to replicated regardless
+        check_vma=False,
     )(params, obs)
 
 
@@ -126,6 +134,7 @@ def make_dp_minibatch_svi_step(emission, cfg, num_seqs: int, mesh: Mesh,
             mesh=mesh,
             in_specs=(P(), P(), P("data"), P()),
             out_specs=P(),
+            check_vma=False,  # pallas outputs carry no vma metadata
         )(params, prior, obs, k_step)
 
         # rho: power schedule, or the elastic adaptive rule (replicated
@@ -173,6 +182,14 @@ def make_dp_metaobs_step(emission, cfg, chain_len: int, mesh: Mesh,
         raise ValueError(f"minibatch {M} not divisible by mesh size {n_dev}")
     M_local = M // n_dev
     W = Lm + 2 * b
+    b_left = b
+    if messages.resolve_method(method) == "pallas" and W < T:
+        # multiple-of-8 window rounding for the fused kernels' time tiler
+        # (same policy as engines/svi.make_step; extra steps = more buffer)
+        pad = min(-W % 8, T - W)
+        b_left += pad // 2
+        W += pad
+    method = messages.resolve_method(method, time_len=W)
 
     scale_trans = (T - 1.0) / (M * max(Lm - 1, 1))
     scale_emit = num_blocks / M
@@ -180,27 +197,25 @@ def make_dp_metaobs_step(emission, cfg, chain_len: int, mesh: Mesh,
 
     def local(params, obs, block_ids_shard):
         starts = block_ids_shard * Lm
-        ws = jnp.clip(starts - b, 0, T - W)
+        ws = jnp.clip(starts - b_left, 0, T - W)
         offs = starts - ws
         windows = _gather_windows(obs, ws, W)
         pos = jnp.arange(W)[None, :]
         maskf = ((pos >= offs[:, None]) & (pos < offs[:, None] + Lm)).astype(
             params.init.dtype
         )
-        log_pi, log_A = expected_log_params(params)
-        ll = emission.expected_log_likelihood(params.emit, windows)
-        # batched dispatch resolves "auto" (pallas on TPU); trans_stats come
-        # back already pair-gated by the mask and summed over the shard
-        fb = messages.e_step_batched(log_pi, log_A, ll, weights=maskf, method=method)
-        gamma_w = fb.gamma * maskf[..., None]
-        emit_stats = emission_flat_stats(emission, params.emit, gamma_w, windows)
-        gamma_at_start = jax.vmap(lambda g, o: g[o])(fb.gamma, offs)
+        # shared windowed local step (engines/base.py): pallas on TPU with
+        # packed gamma, scan elsewhere; trans_stats come back pair-gated by
+        # the mask and summed over the shard
+        emit_stats, trans_stats, gamma_at_start, log_c = windowed_local_step(
+            params, emission, windows, maskf, offs, method
+        )
         is_first = (block_ids_shard == 0).astype(params.init.dtype)[:, None]
         stats = LocalStats(
             init=jnp.sum(gamma_at_start * is_first, 0),
-            trans=fb.trans_stats,
+            trans=trans_stats,
             emit=emit_stats,
-            log_z=jnp.sum(fb.log_c * maskf),
+            log_z=jnp.sum(log_c * maskf),
         )
         return jax.tree.map(partial(jax.lax.psum, axis_name="data"), stats)
 
@@ -215,6 +230,7 @@ def make_dp_metaobs_step(emission, cfg, chain_len: int, mesh: Mesh,
             mesh=mesh,
             in_specs=(P(), P(), P("data")),
             out_specs=P(),
+            check_vma=False,  # pallas outputs carry no vma metadata
         )(params, obs, block_ids)
 
         rho = power_schedule(state.step.astype(params.init.dtype), cfg.tau, cfg.kappa)

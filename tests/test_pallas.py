@@ -112,6 +112,15 @@ class TestPallasFB:
         assert resolve_method("blocked") == "blocked"
         monkeypatch.setattr(pallas_fb, "on_tpu", lambda: True)
         assert resolve_method("auto") == "pallas"
+        # shape-aware fallback: a chain length with no divisor <= 32 would
+        # force the kernels to statically unroll the whole time axis
+        # (Mosaic compile blow-up), so "auto" picks scan for it
+        assert resolve_method("auto", time_len=71) == "scan"  # prime
+        assert resolve_method("auto", time_len=37 * 41) == "scan"
+        assert resolve_method("auto", time_len=70) == "pallas"  # 70 = 14*5
+        assert resolve_method("auto", time_len=31) == "pallas"  # short axis
+        # explicit pallas is honored even for awkward lengths
+        assert resolve_method("pallas", time_len=71) == "pallas"
 
     def test_engine_default_method_end_to_end(self):
         """batch_local_step with its default method agrees with explicit scan."""
@@ -129,6 +138,38 @@ class TestPallasFB:
         np.testing.assert_array_equal(
             np.array(auto_stats.trans), np.array(scan_stats.trans)
         )
+
+    def test_windowed_local_step_pallas_vs_scan(self):
+        """The shared windowed local step (svi/metaobs engines) agrees
+        between the packed pallas path (interpret on CPU) and scan: masked
+        emission stats, pair-gated trans stats, gamma at the kept offsets,
+        and per-step log normalizers."""
+        from pysvihmm_tpu.data.synthetic import gen_gaussian_dataset
+        from pysvihmm_tpu.distributions import GaussianNIW
+        from pysvihmm_tpu.engines.base import windowed_local_step
+        from pysvihmm_tpu.engines.svi import _gather_windows
+        from pysvihmm_tpu.models.hmm import init_params, make_prior
+
+        K, D, T, B, W, L = 4, 2, 64, 6, 16, 10
+        obs, _, _ = gen_gaussian_dataset(jax.random.PRNGKey(0), K, D, 1, T)
+        chain = obs[0]
+        prior = make_prior(K, GaussianNIW, obs_dim=D)
+        params = init_params(jax.random.PRNGKey(1), prior, GaussianNIW, obs)
+
+        ws = jax.random.randint(jax.random.PRNGKey(2), (B,), 0, T - W + 1)
+        windows = _gather_windows(chain, ws, W)
+        offs = jnp.arange(B) % (W - L + 1)
+        pos = jnp.arange(W)[None, :]
+        maskf = ((pos >= offs[:, None]) & (pos < offs[:, None] + L)).astype(
+            jnp.float32
+        )
+
+        out_p = windowed_local_step(params, GaussianNIW, windows, maskf, offs, "pallas")
+        out_s = windowed_local_step(params, GaussianNIW, windows, maskf, offs, "scan")
+        for a, b in zip(jax.tree.leaves(out_p), jax.tree.leaves(out_s)):
+            np.testing.assert_allclose(
+                np.array(a), np.array(b), rtol=2e-4, atol=1e-5
+            )
 
     def test_long_chain_f64_oracle(self):
         """Long-chain accuracy regression vs the float64 oracle.
