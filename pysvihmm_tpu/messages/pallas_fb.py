@@ -161,10 +161,11 @@ def _bwd_kernel(
     against the exact zeros of kron(I_P, A~)).
     """
     if gated:
-        g_ref, gamma_ref, acc_ref, bcarry, dcarry = rest
+        g_ref, gamma_ref, acc_ref, bcarry, dcarry, dstash = rest
     else:
-        g_ref, (gamma_ref, acc_ref, bcarry, dcarry) = None, rest
+        g_ref, (gamma_ref, acc_ref, bcarry, dcarry, dstash) = None, rest
     P = A_ref.shape[0] // K
+    PK_dim = A_ref.shape[0]
 
     def gate(x, c):  # lane-broadcast the (R, P) pair gate to (R, PK)
         gc = g_ref[c]
@@ -238,13 +239,20 @@ def _bwd_kernel(
         # stats-side d: gated by the pair mask w_{t-1} w_t (SVI buffer
         # discard) and renormalized against the beta-chain scale drift;
         # the beta chain always uses the UNGATED, un-normalized d
-        ds = (gate(d, c) if gated else d) * inv
-        if c > 0:
-            acc_ref[:, :] += outer_acc(alpha_ref[c - 1], ds)
-        else:
-            dcarry[:, :] = ds
+        dstash[c] = (gate(d, c) if gated else d) * inv
         beta = chain_step(d)
     bcarry[:, :] = beta
+    dcarry[:, :] = dstash[0]
+    if C > 1:
+        # The in-tile pairings (alpha_{c-1}, d_c), c = 1..C-1, as ONE
+        # batched dim-0 contraction instead of C-1 small matmuls threaded
+        # through the serialized chain: same MXU flops, but the fixed
+        # per-matmul dispatch cost is paid once per tile and the big
+        # matmul has no dependency on the chain's schedule.
+        R_t = alpha_ref.shape[1]
+        a_blk = alpha_ref[0 : C - 1].reshape((C - 1) * R_t, PK_dim)
+        d_blk = dstash[1:C].reshape((C - 1) * R_t, PK_dim)
+        acc_ref[:, :] += outer_acc(a_blk, d_blk)
 
 
 def _choose_packing(B: int, K: int) -> int:
@@ -482,6 +490,7 @@ def pallas_forward_backward_batched(
         scratch_shapes=[
             pltpu.VMEM((tile_r, PK), jnp.float32),
             pltpu.VMEM((tile_r, PK), jnp.float32),
+            pltpu.VMEM((C, tile_r, PK), jnp.float32),
         ],
         compiler_params=None if interpret else compiler_params,
         interpret=interpret,
