@@ -56,13 +56,14 @@ def bench_jax(batch=1024, iters=20, method="scan"):
         # obs/params passed as jit ARGUMENTS (closure constants ship to the
         # compile server and constant-fold pathologically slowly)
         def estep_chained(carry, _):
-            # thread a negligible data dependency so iterations serialize
-            stats, gamma = batch_local_step(
-                params_._replace(init=params_.init + carry * 1e-30),
-                GaussianNIW,
-                obs_,
-                method,
-            )
+            # thread a negligible data dependency so iterations serialize.
+            # The dependency must reach EVERY parameter group — emission
+            # params included — or XLA hoists the loop-invariant expected-
+            # log-likelihood matmul out of the loop and the benchmark
+            # silently measures an E-step with free likelihoods (training
+            # recomputes them every step: the M-step moves the params).
+            p_var = jax.tree.map(lambda x: x + carry * 1e-30, params_)
+            stats, gamma = batch_local_step(p_var, GaussianNIW, obs_, method)
             # consume EVERY stat (cheap reductions) so XLA cannot dead-
             # code-eliminate the backward pass, the pairwise stats, or the
             # emission stats — this times the full production E-step.

@@ -86,19 +86,19 @@ def _pallas_packed_estep(params, emission, obs, weights=None):
     log_pi, log_A = expected_log_params(params)
     # compute the likelihoods TIME-MAJOR so no 4*T*B*K-byte transpose
     # feeds the kernel; the barrier forces the (B, T, D) observation
-    # transpose (D << K, cheap) to MATERIALIZE — otherwise XLA folds it
-    # into the likelihood einsum's output layout (time-minor), which
-    # the kernel can't accept, and re-lays-out the full likelihood
-    # array twice instead.
+    # transpose (D << K, cheap) to MATERIALIZE so downstream consumers
+    # cannot fold it into their own output layouts.
     if obs.ndim == 3:
         obs_tm = jax.lax.optimization_barrier(jnp.swapaxes(obs, 0, 1))
     else:  # int observations (multinomial): tiny, transpose freely
         obs_tm = jnp.swapaxes(obs, 0, 1)
+
     # production-scale likelihood einsum: 3-pass "high" (one-shot error,
     # ~5e-7 relative — utils/precision.py policy), not the 6-pass f32
     # the engine-wide guard would impose (~7% of the whole E-step)
     with bulk_precision():
         ll_tm = emission.expected_log_likelihood(params.emit, obs_tm)  # (T, B, K)
+
     w_tm = jnp.swapaxes(weights, 0, 1) if weights is not None else None
     fb = pallas_forward_backward_batched(
         log_pi,
@@ -221,7 +221,9 @@ def predictive_log_likelihood(
     return jnp.sum(log_z)
 
 
-def _packed_emission_stats(emission, emit_params, gamma_packed, obs_tm, weights_tm=None):
+def _packed_emission_stats(
+    emission, emit_params, gamma_packed, obs_tm, weights_tm=None, feats=None
+):
     """Emission sufficient stats from PACKED time-major gamma (T, R, P*K).
 
     One dim-0 dot_general against lane-packed per-observation features —
@@ -229,6 +231,10 @@ def _packed_emission_stats(emission, emit_params, gamma_packed, obs_tm, weights_
     and the P diagonal (K, F) blocks of the (P*K, P*F) product are summed
     (cross-sequence blocks are discarded). Weights (kept-masks) multiply
     the FEATURE side, which is exactly gamma-weighting by linearity.
+
+    feats: optional precomputed (T, B, 1+D+D^2) f32 feature array shared
+    with the likelihood matmul (see :func:`_pallas_packed_estep`); its
+    reshape to the lane-packed 2D form is a free bitcast.
     """
     from ..distributions.emissions import MultinomialDirichlet
     from ..distributions.niw import GaussianStats, _pair_features
@@ -255,8 +261,9 @@ def _packed_emission_stats(emission, emit_params, gamma_packed, obs_tm, weights_
     K = emit_params.mean.shape[0]
     P = PK // K
     F = 1 + D + D * D
-    ones = jnp.ones(obs_tm.shape[:-1] + (1,), obs_tm.dtype)
-    feats = jnp.concatenate([ones, obs_tm, _pair_features(obs_tm)], axis=-1)
+    if feats is None:
+        ones = jnp.ones(obs_tm.shape[:-1] + (1,), obs_tm.dtype)
+        feats = jnp.concatenate([ones, obs_tm, _pair_features(obs_tm)], axis=-1)
     if weights_tm is not None:
         feats = feats * weights_tm[..., None]
     f2 = feats.reshape(T * R, P * F)

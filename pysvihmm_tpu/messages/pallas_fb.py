@@ -90,24 +90,54 @@ def on_tpu() -> bool:
     return jax.default_backend() == "tpu"
 
 
-def _fwd_kernel(pi_ref, A_ref, lik_ref, alpha_ref, carry, *, C, m, log_in, prec):
+def _seg_shift_exp(l, K):
+    """exp(l - per-sequence max), (R, PK) -> (R, PK), all VPU off-chain.
+
+    The max shift runs per K-segment (per packed sequence); computing it
+    here means the shifted/exp'd T*B*K array never exists in HBM and no
+    per-sequence shift array is ever materialized (any (..., P)-shaped
+    array is lane-padded 128/P-fold on TPU — a silent 64x traffic tax at
+    P = 2)."""
+    P = l.shape[-1] // K
+    if P == 1:
+        return jnp.exp(l - jnp.max(l, axis=-1, keepdims=True))
+    mx = [
+        jnp.max(l[:, p * K : (p + 1) * K], axis=-1, keepdims=True) for p in range(P)
+    ]
+    return jnp.exp(
+        l
+        - jnp.concatenate(
+            [jnp.broadcast_to(m_, (l.shape[0], K)) for m_ in mx], axis=-1
+        )
+    )
+
+
+def _fwd_kernel(pi_ref, A_ref, lik_ref, alpha_ref, s_ref, sh_ref, carry, *, C, m, K, log_in, prec):
     """One time-tile of the forward recursion, whole row tile at once.
 
     pi_ref:   (1, PK)           pi~ tiled P times
     A_ref:    (PK, PK)          kron(I_P, A~)
-    lik_ref:  (C, R, PK)        max-normalized likelihoods, time-major packed
+    lik_ref:  (C, R, PK)        RAW log-likelihoods, time-major packed
     alpha_ref:(C, R, PK)        out: RAW forward messages alpha_hat_t * h_t
+    s_ref:    (P, C, R)         out: per-sequence sums of stored alpha (=
+                                the stored scales h_t), TRANSPOSED so the
+                                minor dim is the wide row axis — a (T,R,P)
+                                layout would be lane-padded 64x. Emitted
+                                post-loop as ONE selector matmul per tile.
+    sh_ref:   (P, C, R)         out: the per-sequence max shifts the exp
+                                ran under (re-derived post-loop, batched)
     carry:    (R, PK)           VMEM scratch persisting across time tiles
                                 (row-renormalized at tile boundaries)
     m: renorm period; C % m == 0 so tile boundaries are renorm boundaries.
     """
     j = pl.program_id(1)
+    PK = A_ref.shape[0]
+    P = PK // K
 
     def lik(p):
-        # log_in: likelihoods arrive max-shifted in LOG space and the exp
-        # runs here on the VPU (off the chain) — the exp'd T*B*K array then
-        # never exists in HBM, and XLA needs no layout copies to feed it
-        return jnp.exp(lik_ref[p]) if log_in else lik_ref[p]
+        # likelihoods arrive RAW in LOG space; the per-sequence max shift
+        # and the exp run here on the VPU (off the chain)
+        return _seg_shift_exp(lik_ref[p], K) if log_in else lik_ref[p]
 
     def raw_step(a_prev, lik_t):
         return (
@@ -138,6 +168,27 @@ def _fwd_kernel(pi_ref, A_ref, lik_ref, alpha_ref, carry, *, C, m, log_in, prec)
         alpha_ref[p] = a
         q = jnp.sum(a, axis=-1, keepdims=True)
     carry[:, :] = a / q
+
+    # --- batched per-tile epilogue (off the chain) ---
+    # Per-sequence stored scales h_t: ONE (P, PK) x (PK, C*R) selector
+    # matmul over the whole tile's alpha, emitted transposed-dense.
+    tile_r = alpha_ref.shape[1]
+    sel = (
+        jax.lax.broadcasted_iota(jnp.int32, (P, PK), 1) // K
+        == jax.lax.broadcasted_iota(jnp.int32, (P, PK), 0)
+    ).astype(jnp.float32)
+    a2 = alpha_ref[...].reshape(C * tile_r, PK)
+    s2 = lax.dot_general(
+        sel, a2, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    )
+    s_ref[...] = s2.reshape(P, C, tile_r)
+    if log_in:
+        # the shifts the exp ran under, batched (bit-identical re-derive)
+        for p in range(P):
+            sh_ref[p] = jnp.max(lik_ref[:, :, p * K : (p + 1) * K], axis=-1)
+    else:
+        sh_ref[...] = jnp.zeros_like(sh_ref)
 
 
 def _bwd_kernel(
@@ -232,7 +283,9 @@ def _bwd_kernel(
         graw = alpha_ref[c] * beta
         inv = seg_inv(graw)  # off the beta chain (outputs only)
         gamma_ref[c] = graw * inv
-        d = (jnp.exp(lik_ref[c]) if log_in else lik_ref[c]) * beta
+        # same per-sequence max shift as the forward (max is exact, so the
+        # re-derived shift is bit-identical and gamma = alpha * beta' holds)
+        d = (_seg_shift_exp(lik_ref[c], K) if log_in else lik_ref[c]) * beta
         if c % m == 0:
             # replay the forward's full-row renorm (scalar per row)
             d = d * v_ref[0, c // m][:, None]
@@ -336,21 +389,17 @@ def pallas_forward_backward_batched(
     it without an XLA re-layout copy of the whole array; init_stats stays
     (B, K).
     """
-    # Likelihoods stay in (max-shifted) LOG space; the kernels exp() them
-    # on read. The subtract fuses into the einsum producer's epilogue and
-    # the exp'd array never exists in HBM (no XLA layout copies).
+    # Likelihoods stay RAW in LOG space; the per-sequence max shift and the
+    # exp run inside the kernels on the VPU. Reshapes below are pure
+    # bitcasts on a row-major producer — no subtract pass, no layout copies
+    # of the full T*B*K array.
     if time_major:
         T, B, K = log_lik.shape
-        ll32 = log_lik.astype(jnp.float32)
-        shifts_tm = jnp.max(ll32, axis=-1)
-        lik_tm = ll32 - lax.stop_gradient(shifts_tm)[..., None]
-        shifts = jnp.swapaxes(shifts_tm, 0, 1)  # (B, T), small
+        lik_tm = log_lik.astype(jnp.float32)
         w_tm = weights.astype(jnp.float32) if weights is not None else None
     else:
         B, T, K = log_lik.shape
-        ll32 = log_lik.astype(jnp.float32)
-        shifts = jnp.max(ll32, axis=-1)
-        lik_tm = jnp.swapaxes(ll32 - lax.stop_gradient(shifts)[..., None], 0, 1)
+        lik_tm = jnp.swapaxes(log_lik.astype(jnp.float32), 0, 1)
         w_tm = (
             jnp.swapaxes(weights.astype(jnp.float32), 0, 1)
             if weights is not None
@@ -384,8 +433,8 @@ def pallas_forward_backward_batched(
     # raise it so grid-cell count (sequential on the TensorCore) stays low.
     compiler_params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
-    alpha_t = pl.pallas_call(
-        functools.partial(_fwd_kernel, C=C, m=m, log_in=True, prec=precision),
+    alpha_t, s_out, sh_out = pl.pallas_call(
+        functools.partial(_fwd_kernel, C=C, m=m, K=K, log_in=True, prec=precision),
         grid=(nR, nT),
         in_specs=[
             pl.BlockSpec((1, PK), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
@@ -394,35 +443,47 @@ def pallas_forward_backward_batched(
                 (C, tile_r, PK), lambda i, j: (j, i, 0), memory_space=pltpu.VMEM
             ),
         ],
-        out_specs=pl.BlockSpec(
-            (C, tile_r, PK), lambda i, j: (j, i, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((T, R, PK), jnp.float32),
+        out_specs=[
+            pl.BlockSpec(
+                (C, tile_r, PK), lambda i, j: (j, i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (P, C, tile_r), lambda i, j: (0, j, i), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (P, C, tile_r), lambda i, j: (0, j, i), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, R, PK), jnp.float32),
+            jax.ShapeDtypeStruct((P, T, R), jnp.float32),
+            jax.ShapeDtypeStruct((P, T, R), jnp.float32),
+        ],
         scratch_shapes=[pltpu.VMEM((tile_r, PK), jnp.float32)],
         compiler_params=None if interpret else compiler_params,
         interpret=interpret,
     )(pi_blk, A_blk, lik)
 
     # --- scale bookkeeping, all elementwise/XLA between the kernels ---
-    # Per-sequence stored scales h_t: one segmented reduce over raw alpha,
-    # expressed as a (T*R, PK) @ (PK, P) matmul — a reshape+reduce makes
-    # XLA re-lay-out the whole 4*T*B*K-byte alpha array just to produce
-    # these 4*T*B bytes of sums; the matmul accepts alpha's native layout.
-    S_seg = jnp.repeat(jnp.eye(P, dtype=jnp.float32), K, axis=0)  # (PK, P)
-    s_out = (alpha_t.reshape(T * R, PK) @ S_seg).reshape(T, R, P)  # = h_t
-    q = jnp.sum(s_out, axis=-1)  # (T, R) full-row sums (renorm divisors)
-    log_s = jnp.log(s_out.reshape(T, B))
-    # log c_t = log h_t - log h_{t-1} + [renorm between t-1,t] log q_{t-1};
-    # renorms happen between t-1 and t for t = k*m, k >= 1.
+    # Per-sequence stored scales h_t = s_out and the in-kernel max shifts
+    # sh_out, both emitted TRANSPOSED-dense (P, T, R) — the wide row axis
+    # is minor, so nothing below touches a lane-padded narrow array. All
+    # ops here are elementwise on arrays ~K-fold smaller than alpha.
+    q = jnp.sum(s_out, axis=0)  # (T, R) full-row sums (renorm divisors)
+    log_s3 = jnp.log(s_out)  # (P, T, R)
+    # log c_t = log h_t - log h_{t-1} + [renorm between t-1,t] log q_{t-1}
+    # + shift_t; renorms happen between t-1 and t for t = k*m, k >= 1.
     log_q_rows = jnp.log(q)  # (T, R)
-    log_q_seq = jnp.repeat(log_q_rows, P, axis=-1)  # (T, B)
     steps = jnp.arange(T)
-    corr = jnp.where((steps % m == 0) & (steps > 0), 1.0, 0.0)[:, None]
-    prev = jnp.concatenate([jnp.zeros((1, B), jnp.float32), log_s[:-1]], axis=0)
-    prev_q = jnp.concatenate(
-        [jnp.zeros((1, B), jnp.float32), log_q_seq[:-1]], axis=0
+    corr3 = jnp.where((steps % m == 0) & (steps > 0), 1.0, 0.0)[None, :, None]
+    zP = jnp.zeros((P, 1, R), jnp.float32)
+    prev3 = jnp.concatenate([zP, log_s3[:, :-1]], axis=1)
+    prev_q3 = jnp.concatenate(
+        [jnp.zeros((1, 1, R), jnp.float32), log_q_rows[None, :-1]], axis=1
     )
-    log_c_t = log_s - prev + corr * prev_q  # (T, B)
+    log_c3 = log_s3 - prev3 + corr3 * prev_q3 + sh_out  # (P, T, R)
+    # one 4*T*B-byte relayout to the user-facing (B, T): b = r*P + p
+    log_c = jnp.transpose(log_c3, (2, 0, 1)).reshape(B, T)
 
     # Backward inputs: renorm replay factors per tile (v[k] = 1/q at step
     # k*m - 1, i.e. the sum the forward divided by entering step k*m; for
@@ -431,7 +492,7 @@ def pallas_forward_backward_batched(
     # (nT, C//m, R): leading dim grid-indexed so the block's trailing dims
     # can equal the array dims (Mosaic tiling constraint for C//m < 8)
     v = (1.0 / q_prev[::m]).reshape(nT, C // m, R)
-    seed = jnp.repeat(1.0 / s_out[T - 1], K, axis=-1).reshape(R, PK)
+    seed = jnp.repeat(1.0 / jnp.swapaxes(s_out[:, T - 1, :], 0, 1), K, axis=-1)
 
     gated = w_tm is not None
     bwd_inputs = [A_blk, lik, alpha_t, v, seed]
@@ -496,7 +557,6 @@ def pallas_forward_backward_batched(
         interpret=interpret,
     )(*bwd_inputs)
 
-    log_c = jnp.swapaxes(log_c_t, 0, 1) + shifts  # (B, T)
     log_z = jnp.sum(log_c, axis=-1)
     # sum the P diagonal K x K blocks of the packed accumulator
     acc_kk = sum(acc[p * K : (p + 1) * K, p * K : (p + 1) * K] for p in range(P))
