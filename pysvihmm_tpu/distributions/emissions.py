@@ -39,6 +39,15 @@ class GaussianNIW:
         return niw.expected_log_likelihood(params, y)
 
     @staticmethod
+    def ell_features(y: jax.Array) -> jax.Array:
+        """Shared per-observation features [1, y, y (x) y] (see niw.ell_features)."""
+        return niw.ell_features(y)
+
+    @staticmethod
+    def ell_feature_matrix(params: NIW) -> jax.Array:
+        return niw.ell_feature_matrix(params)
+
+    @staticmethod
     def suff_stats(gamma: jax.Array, y: jax.Array) -> GaussianStats:
         return niw.suff_stats(gamma, y)
 

@@ -141,6 +141,32 @@ def expected_log_likelihood(q: NIW, y: jax.Array) -> jax.Array:
     return p.const - 0.5 * quad + lin
 
 
+def ell_features(y: jax.Array) -> jax.Array:
+    """(..., D) -> (..., 1+D+D*D) features [1, y, y (x) y].
+
+    ``expected_log_likelihood(q, y) == ell_features(y) @ ell_feature_matrix(q)``
+    and the SAME array is the per-observation feature side of the Gaussian
+    sufficient-statistics matmul — computing it once halves the dominant
+    per-observation HBM traffic of the E-step's emission work.
+    """
+    ones = jnp.ones(y.shape[:-1] + (1,), y.dtype)
+    return jnp.concatenate([ones, y, _pair_features(y)], axis=-1)
+
+
+def ell_feature_matrix(q: NIW) -> jax.Array:
+    """(1+D+D*D, K) weights W with E_q[log N(y | mu_k, Sigma_k)] = feats @ W."""
+    p = ell_params(q)
+    K, D = q.mean.shape
+    return jnp.concatenate(
+        [
+            p.const[None, :],
+            jnp.swapaxes(p.h, 0, 1),
+            -0.5 * jnp.swapaxes(p.P.reshape(K, D * D), 0, 1),
+        ],
+        axis=0,
+    )
+
+
 def _pair_features(y: jax.Array) -> jax.Array:
     """(..., D) -> (..., D*D) pairwise products y_d * y_e, f = d*D + e.
 

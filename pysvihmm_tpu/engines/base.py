@@ -93,11 +93,20 @@ def _pallas_packed_estep(params, emission, obs, weights=None):
     else:  # int observations (multinomial): tiny, transpose freely
         obs_tm = jnp.swapaxes(obs, 0, 1)
 
-    # production-scale likelihood einsum: 3-pass "high" (one-shot error,
+    # production-scale likelihood matmul: 3-pass "high" (one-shot error,
     # ~5e-7 relative — utils/precision.py policy), not the 6-pass f32
-    # the engine-wide guard would impose (~7% of the whole E-step)
+    # the engine-wide guard would impose (~7% of the whole E-step).
+    # Families exposing ell_features (GaussianNIW) get ONE feats @ W matmul
+    # whose (T, B, F) feature array is REUSED by the emission-stats matmul —
+    # the y (x) y pair features are built and written to HBM once, not twice.
+    feats_tm = None
     with bulk_precision():
-        ll_tm = emission.expected_log_likelihood(params.emit, obs_tm)  # (T, B, K)
+        if hasattr(emission, "ell_features"):
+            feats_tm = emission.ell_features(obs_tm)  # (T, B, F)
+            W = emission.ell_feature_matrix(params.emit)  # (F, K)
+            ll_tm = feats_tm @ W  # (T, B, K)
+        else:
+            ll_tm = emission.expected_log_likelihood(params.emit, obs_tm)
 
     w_tm = jnp.swapaxes(weights, 0, 1) if weights is not None else None
     fb = pallas_forward_backward_batched(
@@ -115,7 +124,7 @@ def _pallas_packed_estep(params, emission, obs, weights=None):
     # re-layout copy of the whole array); weights fold into the
     # feature side: sum_n (gamma_n w_n) f_n = sum_n gamma_n (w_n f_n).
     emit_stats = _packed_emission_stats(
-        emission, params.emit, fb.gamma, obs_tm, weights_tm=w_tm
+        emission, params.emit, fb.gamma, obs_tm, weights_tm=w_tm, feats=feats_tm
     )
     return fb, emit_stats
 

@@ -80,6 +80,16 @@ class TestNIW:
         )
         np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 
+    def test_ell_feature_matrix_matches_expected_log_likelihood(self):
+        # feats(y) @ W must equal the reference expected_log_likelihood —
+        # this identity is what lets the pallas E-step share ONE feature
+        # array between the likelihood and emission-stats matmuls.
+        q = self._random_q(K=5, D=3)
+        y = jnp.array(rng.normal(size=(7, 11, 3)), jnp.float32)
+        want = np.array(niw.expected_log_likelihood(q, y))
+        got = np.array(niw.ell_features(y) @ niw.ell_feature_matrix(q))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
     def test_posterior_vs_oracle(self):
         K, D = 3, 2
         prior = niw.make_prior(K, D)
