@@ -31,6 +31,7 @@ from .scan_fb import (
 )
 from .assoc_fb import forward_backward_assoc, log_normalizer_assoc
 from .blocked import forward_backward_blocked
+from .time_sharded import time_sharded_forward_backward
 
 
 def e_step_grad(
@@ -149,6 +150,7 @@ __all__ = [
     "forward_backward",
     "forward_backward_assoc",
     "forward_backward_blocked",
+    "time_sharded_forward_backward",
     "forward_filter_log",
     "log_normalizer",
     "log_normalizer_assoc",

@@ -1,0 +1,185 @@
+"""Exact forward-backward for ONE long chain with the TIME axis sharded
+over a device mesh — the framework's context-parallelism analog.
+
+The reference scales long chains only *algorithmically* (buffered subchain
+minibatching — SURVEY.md §2.4 "sequence parallelism" row); for exact
+full-chain smoothing at T = 100k+ it would run a single sequential Cython
+loop. Here the chain is cut into D contiguous tiles, one per device on a
+``time`` mesh axis, and smoothing is exact via a three-phase schedule:
+
+1. **Local tile products** (batched MXU work, no sequential chain): each
+   device forms its per-step transfer matrices S_t = A~ diag(lik_t) and
+   tree-reduces them (log-depth, renormalized each level) into one K x K
+   tile operator Q_d. Row-vector convention: alpha_t ∝ alpha_{t-1} @ S_t,
+   so Q_d = S_{dC} @ ... @ S_{(d+1)C-1} composes the whole tile.
+2. **Boundary exchange** (tiny collective): ``all_gather`` of the D tile
+   operators (D * K * K floats); every device then replicates the D-step
+   boundary recursions a_d = normalize(a_{d-1} @ Q_d) (filtered alpha at
+   each tile's LAST step, seeded by pi~ through tile 0's special first
+   factor diag(lik_0)) and b_d = normalize(Q_{d+1} @ b_{d+1}) (beta at
+   each tile's last step, seeded with ones at the right edge).
+3. **Seeded local sweeps** (sequential depth T/D instead of T): each tile
+   runs the standard normalized scans with its boundary messages as seeds
+   — log_pi := log(a_in @ A~) reproduces the global per-step scaling
+   constants c_t EXACTLY (a_in is the true normalized filtered marginal),
+   so gamma, trans_stats, log_c and log Z all match the single-device
+   scan bit-for-tolerance. Cross-tile pairwise stats need no extra
+   communication: the xi for the boundary transition into tile d only
+   involves a_in[d-1] (already replicated), the tile's first likelihood
+   row, and its first beta.
+
+Per-step weights (SVI kept-masks) are supported the same way scan_fb
+supports them: weights gate init/trans stats only.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from .scan_fb import FBResult, _normalize_loglik, forward_with_logc
+
+
+def _tree_product(S: jax.Array) -> jax.Array:
+    """Left-to-right product of a stack of matrices, log-depth.
+
+    S: (n, K, K) with product order S[0] @ S[1] @ ... @ S[n-1]. Each level
+    is ONE batched matmul (MXU-shaped) and is renormalized by its max to
+    keep the geometric decay of sub-stochastic transfer products away from
+    f32 underflow; the dropped scales cancel in the normalized boundary
+    messages. Identity padding makes any n exact.
+    """
+    n, K = S.shape[0], S.shape[1]
+    p2 = 1 << max(n - 1, 0).bit_length()
+    if p2 != n:
+        eye = jnp.broadcast_to(jnp.eye(K, dtype=S.dtype), (p2 - n, K, K))
+        S = jnp.concatenate([S, eye], axis=0)
+    while S.shape[0] > 1:
+        S = jnp.einsum(
+            "nij,njk->nik",
+            S[0::2],
+            S[1::2],
+            preferred_element_type=S.dtype,
+        )
+        S = S / jnp.max(S, axis=(1, 2), keepdims=True)
+    return S[0]
+
+
+def _backward_seeded(A_tilde, lik, beta_last):
+    """Normalized beta for one tile given beta at the tile's LAST step."""
+
+    def step(beta, lik_t1):
+        b = A_tilde @ (lik_t1 * beta)
+        b = b / jnp.sum(b)
+        return b, b
+
+    _, betas = lax.scan(step, beta_last, lik[1:], reverse=True)
+    return jnp.concatenate([betas, beta_last[None]], axis=0)
+
+
+def time_sharded_forward_backward(
+    log_pi: jax.Array,
+    log_A: jax.Array,
+    log_lik: jax.Array,
+    mesh: Mesh,
+    axis: str = "time",
+    weights: jax.Array | None = None,
+) -> FBResult:
+    """Exact FBResult for one (T, K) chain, T sharded over ``mesh[axis]``.
+
+    Same contract as ``scan_fb.forward_backward``; gamma and log_c come
+    back sharded over time, scalars/stats replicated. T must divide the
+    axis size. Device-count-invariant up to f32 roundoff (tested against
+    the single-device scan on a virtual 8-device mesh).
+    """
+    T, K = log_lik.shape
+    D = mesh.shape[axis]
+    if T % D != 0:
+        raise ValueError(f"T={T} must be divisible by time-axis size {D}")
+
+    spec_t = P(axis)
+    spec_tk = P(axis, None)
+    has_w = weights is not None
+    w_arg = weights if has_w else jnp.ones((T,), log_lik.dtype)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), spec_tk, spec_t),
+        out_specs=(spec_tk, P(), P(), P(), spec_t),
+        check_vma=False,
+    )
+    def fb(log_pi, log_A, ll, w):
+        idx = lax.axis_index(axis)
+        A_tilde = jnp.exp(log_A)
+        lik, _ = _normalize_loglik(ll)  # (C, K) local tile
+
+        # --- phase 1: tile operator (batched, no chain) ---
+        S = A_tilde[None, :, :] * lik[:, None, :]  # S_t = A~ diag(lik_t)
+        # tile 0's first factor is diag(lik_0): alpha_0 ∝ pi~ @ diag(lik_0)
+        first = jnp.where(idx == 0, jnp.eye(K, dtype=lik.dtype) * lik[0][None, :], S[0])
+        S = jnp.concatenate([first[None], S[1:]], axis=0)
+        Q = _tree_product(S)
+
+        # --- phase 2: boundary recursions on gathered tile operators ---
+        Qg = lax.all_gather(Q, axis)  # (D, K, K), tiny
+        a = jnp.exp(log_pi)
+        a_last = []  # a_last[d] = normalized filtered alpha at tile d's last step
+        for d in range(D):
+            a = a @ Qg[d]
+            a = a / jnp.sum(a)
+            a_last.append(a)
+        a_last = jnp.stack(a_last)  # (D, K)
+        b = jnp.full((K,), 1.0 / K, lik.dtype)
+        b_last = [b]  # b_last[j] = normalized beta at tile (D-1-j)'s last step
+        for d in range(D - 1, 0, -1):
+            b = Qg[d] @ b
+            b = b / jnp.sum(b)
+            b_last.append(b)
+        b_last = jnp.stack(b_last[::-1])  # (D, K), indexed by tile
+
+        # --- phase 3: seeded local sweeps (sequential depth T/D) ---
+        a_in = jnp.take(a_last, jnp.maximum(idx - 1, 0), axis=0)  # alpha_{t0-1}
+        log_pi_loc = jnp.where(
+            idx == 0, log_pi, jnp.log(jnp.maximum(a_in @ A_tilde, 1e-38))
+        )
+        alpha, _, log_c = forward_with_logc(log_pi_loc, log_A, ll)
+        beta = _backward_seeded(A_tilde, lik, jnp.take(b_last, idx, axis=0))
+
+        g = alpha * beta
+        gamma = g / jnp.sum(g, axis=-1, keepdims=True)
+
+        # internal transitions (local matmul trick, as scan_fb)
+        bl = lik[1:] * beta[1:]
+        n = jnp.einsum("tk,tk->t", alpha[:-1] @ A_tilde, bl)
+        w_pair = w[:-1] * w[1:]
+        alpha_w = alpha[:-1] * (w_pair / n)[:, None]
+        trans_stats = A_tilde * (alpha_w.T @ bl)
+        # boundary transition INTO this tile (t = t0-1 -> t0), devices d>0.
+        # Needs only a_in (replicated chain), our first lik row and beta.
+        blb = lik[0] * beta[0]
+        xi_b = A_tilde * jnp.outer(a_in, blb)
+        xi_b = xi_b / jnp.sum(xi_b)
+        w_prev = lax.ppermute(w[-1], axis, [(i, (i + 1) % D) for i in range(D)])
+        gate = jnp.where(idx == 0, 0.0, w_prev * w[0])
+        trans_stats = trans_stats + gate * xi_b
+        trans_stats = lax.psum(trans_stats, axis)
+
+        init_stats = jnp.where(idx == 0, w[0] * gamma[0], jnp.zeros((K,), lik.dtype))
+        init_stats = lax.psum(init_stats, axis)
+        log_z = lax.psum(jnp.sum(log_c), axis)
+        return gamma, log_z, trans_stats, init_stats, log_c
+
+    gamma, log_z, trans_stats, init_stats, log_c = fb(log_pi, log_A, log_lik, w_arg)
+    return FBResult(
+        gamma=gamma,
+        log_z=log_z,
+        trans_stats=trans_stats,
+        init_stats=init_stats,
+        log_c=log_c,
+    )

@@ -1,6 +1,7 @@
 """Long-chain path tests: blocked (time-tiled) FB equals the sequential scan
 on every shape/padding case, and handles a T=100k chain with bounded memory
-(BASELINE config 4, scaled for CPU CI).
+(BASELINE config 4, scaled for CPU CI). Time-sharded FB (context-parallel
+analog, SURVEY.md §2.4) must match the single-device scan on a virtual mesh.
 """
 
 import jax
@@ -10,6 +11,8 @@ import pytest
 
 from pysvihmm_tpu import messages
 from pysvihmm_tpu.messages.blocked import forward_backward_blocked
+from pysvihmm_tpu.messages.time_sharded import time_sharded_forward_backward
+from pysvihmm_tpu.parallel.data_parallel import make_mesh
 
 
 rng = np.random.default_rng(11)
@@ -47,6 +50,71 @@ class TestBlockedFB:
         np.testing.assert_allclose(float(b.log_z), float(a.log_z), rtol=3e-6)
         np.testing.assert_allclose(np.array(b.gamma), np.array(a.gamma), atol=3e-4)
 
+class TestTimeShardedFB:
+    @pytest.mark.parametrize("n_dev,T,K", [(8, 64, 5), (4, 100, 3), (2, 10, 4), (1, 16, 3)])
+    def test_matches_scan(self, n_dev, T, K, enable_x64):
+        mesh = make_mesh(n_dev, axis="time")
+        log_pi, log_A, ll = problem(T, K)
+        a = messages.forward_backward(log_pi, log_A, ll)
+        b = jax.jit(
+            lambda p, A, l: time_sharded_forward_backward(p, A, l, mesh)
+        )(log_pi, log_A, ll)
+        np.testing.assert_allclose(np.array(b.gamma), np.array(a.gamma), atol=1e-10)
+        np.testing.assert_allclose(float(b.log_z), float(a.log_z), rtol=1e-11)
+        np.testing.assert_allclose(
+            np.array(b.trans_stats), np.array(a.trans_stats), atol=1e-10
+        )
+        np.testing.assert_allclose(
+            np.array(b.init_stats), np.array(a.init_stats), atol=1e-12
+        )
+        np.testing.assert_allclose(np.array(b.log_c), np.array(a.log_c), atol=1e-10)
+
+    def test_matches_scan_with_weights(self, enable_x64):
+        # kept-masks gate init/trans stats across tile boundaries too
+        mesh = make_mesh(4, axis="time")
+        T, K = 48, 4
+        log_pi, log_A, ll = problem(T, K)
+        w = jnp.array((rng.uniform(size=T) > 0.3).astype(np.float64))
+        a = messages.forward_backward(log_pi, log_A, ll, w)
+        b = time_sharded_forward_backward(log_pi, log_A, ll, mesh, weights=w)
+        np.testing.assert_allclose(
+            np.array(b.trans_stats), np.array(a.trans_stats), atol=1e-10
+        )
+        np.testing.assert_allclose(
+            np.array(b.init_stats), np.array(a.init_stats), atol=1e-12
+        )
+
+    def test_long_chain_f32_sharded(self):
+        """T=16k chain over 8 virtual devices, f32: exactness at scale."""
+        mesh = make_mesh(8, axis="time")
+        T, K = 16_000, 8
+        log_pi, log_A, ll = problem(T, K)
+        log_pi, log_A, ll = (x.astype(jnp.float32) for x in (log_pi, log_A, ll))
+        a = messages.forward_backward(log_pi, log_A, ll)
+        b = jax.jit(
+            lambda p, A, l: time_sharded_forward_backward(p, A, l, mesh)
+        )(log_pi, log_A, ll)
+        np.testing.assert_allclose(float(b.log_z), float(a.log_z), rtol=3e-6)
+        np.testing.assert_allclose(np.array(b.gamma), np.array(a.gamma), atol=3e-4)
+
+    def test_underflow_resistance_sharded(self, enable_x64):
+        mesh = make_mesh(4, axis="time")
+        T, K = 4096, 4
+        log_pi, log_A, ll = problem(T, K)
+        ll = ll - 500.0
+        a = messages.forward_backward(log_pi, log_A, ll)
+        b = time_sharded_forward_backward(log_pi, log_A, ll, mesh)
+        assert np.isfinite(float(b.log_z))
+        np.testing.assert_allclose(float(b.log_z), float(a.log_z), rtol=1e-11)
+
+    def test_indivisible_raises(self):
+        mesh = make_mesh(4, axis="time")
+        log_pi, log_A, ll = problem(10, 3)
+        with pytest.raises(ValueError):
+            time_sharded_forward_backward(log_pi, log_A, ll, mesh)
+
+
+class TestBlockedFBEdge:
     def test_extreme_underflow_resistance(self, enable_x64):
         """Per-tile renormalization must survive T=5000 of strongly-peaked
         likelihoods whose raw product underflows any float."""
