@@ -10,3 +10,10 @@ from .data_parallel import (
     sharded_local_step,
 )
 from .multihost import global_data_mesh, host_local_batch_to_global, initialize_distributed
+from .time_parallel import (
+    fit_long_chain,
+    make_time_mesh,
+    make_ts_vb_step,
+    shard_chain,
+    time_sharded_local_step,
+)

@@ -1,0 +1,116 @@
+"""Time-parallel inference on ONE long chain: the engine layer over
+``messages.time_sharded`` (context parallelism, SURVEY.md §2.4).
+
+The reference has no exact long-chain story beyond a single sequential
+Cython loop; its answer to long chains is the SVI subchain estimator. This
+module provides the complementary *exact* path: full-chain batch VB where
+the time axis of a T = 100k+ chain is sharded over a ``time`` mesh axis,
+each coordinate-ascent iteration running forward-backward at sequential
+depth T/D with two tiny boundary collectives (see
+``messages/time_sharded.py``). Likelihoods and emission sufficient stats
+are per-timestep maps/reductions, so GSPMD shards them with the data and
+inserts the psum for the stat sums automatically — the only hand-written
+communication in the whole step is inside the message kernel.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..distributions import dirichlet
+from ..engines.base import LocalStats, elbo_from_stats
+from ..messages.time_sharded import time_sharded_forward_backward
+from ..models.hmm import HMMParams, emission_flat_stats, expected_log_params
+from ..utils.precision import f32_matmuls
+
+
+def make_time_mesh(num_devices: int | None = None, devices=None, axis: str = "time") -> Mesh:
+    """1-D time mesh over the given (or all) devices."""
+    import numpy as np
+
+    if devices is None:
+        devices = jax.devices()
+    if num_devices is not None:
+        devices = devices[:num_devices]
+    return Mesh(np.array(devices), (axis,))
+
+
+def shard_chain(obs: jax.Array, mesh: Mesh, axis: str = "time") -> jax.Array:
+    """Place one (T, ...) chain with the TIME axis sharded over the mesh."""
+    return jax.device_put(obs, NamedSharding(mesh, P(axis)))
+
+
+@f32_matmuls
+def time_sharded_local_step(
+    params: HMMParams,
+    emission,
+    obs: jax.Array,  # (T, D) float or (T,) int, time-sharded
+    mesh: Mesh,
+    axis: str = "time",
+) -> tuple[LocalStats, jax.Array]:
+    """Full exact local update on one time-sharded chain.
+
+    Returns (stats, gamma (T, K) time-sharded). Semantically identical to
+    ``batch_local_step(params, emission, obs[None])`` on one device
+    (tested in tests/test_longchain.py).
+    """
+    log_pi, log_A = expected_log_params(params)
+    ll = emission.expected_log_likelihood(params.emit, obs)  # per-step map
+    fb = time_sharded_forward_backward(log_pi, log_A, ll, mesh, axis)
+    emit = emission_flat_stats(emission, params.emit, fb.gamma, obs)
+    stats = LocalStats(
+        init=fb.init_stats, trans=fb.trans_stats, emit=emit, log_z=fb.log_z
+    )
+    return stats, fb.gamma
+
+
+def make_ts_vb_step(emission, mesh: Mesh, axis: str = "time"):
+    """Jitted coordinate-ascent VB step on one time-sharded chain."""
+
+    @jax.jit
+    @f32_matmuls
+    def step(params: HMMParams, prior: HMMParams, obs: jax.Array):
+        stats, _ = time_sharded_local_step(params, emission, obs, mesh, axis)
+        elbo = elbo_from_stats(params, prior, emission, stats.log_z)
+        new_params = HMMParams(
+            init=dirichlet.posterior(prior.init, stats.init),
+            trans=dirichlet.posterior(prior.trans, stats.trans),
+            emit=emission.posterior(prior.emit, stats.emit),
+        )
+        return new_params, elbo
+
+    return step
+
+
+def fit_long_chain(
+    params: HMMParams,
+    prior: HMMParams,
+    obs: jax.Array,  # one (T, ...) chain
+    emission,
+    mesh: Mesh,
+    num_iters: int = 100,
+    axis: str = "time",
+) -> tuple[HMMParams, jax.Array]:
+    """Batch VB on one long chain, time-sharded, as one compiled scan.
+
+    The whole optimization loop (num_iters exact full-chain E+M steps)
+    compiles to a single XLA program; ELBO history comes back on host.
+    """
+    obs = shard_chain(obs, mesh, axis)
+    step = make_ts_vb_step(emission, mesh, axis)
+
+    @jax.jit
+    def run(p, pr, o):
+        def body(carry, _):
+            p, _ = carry
+            p2, elbo = step(p, pr, o)
+            return (p2, elbo), elbo
+
+        (pf, _), elbos = jax.lax.scan(body, (p, jnp.zeros(())), None, length=num_iters)
+        return pf, elbos
+
+    return run(params, prior, obs)

@@ -114,6 +114,62 @@ class TestTimeShardedFB:
             time_sharded_forward_backward(log_pi, log_A, ll, mesh)
 
 
+class TestTimeShardedEngine:
+    def test_vb_trajectory_matches_single_device(self):
+        """fit_long_chain over a 4-device time mesh reproduces batch VB on
+        the same chain as a (1, T) batch: identical ELBO trajectory and
+        identical posterior params (f32 tolerance)."""
+        from pysvihmm_tpu.data.synthetic import gen_gaussian_dataset
+        from pysvihmm_tpu.distributions import GaussianNIW
+        from pysvihmm_tpu.engines import batch_vb
+        from pysvihmm_tpu.models.hmm import init_params, make_prior
+        from pysvihmm_tpu.parallel import fit_long_chain, make_time_mesh
+
+        obs, _, _ = gen_gaussian_dataset(
+            jax.random.PRNGKey(3), K=3, D=2, num_seqs=1, T=400,
+            mean_scale=4.0, cov_scale=0.3,
+        )
+        prior = make_prior(3, GaussianNIW, obs_dim=2)
+        p0 = init_params(jax.random.PRNGKey(1), prior, GaussianNIW, obs)
+        ref_p, ref_elbos = batch_vb.fit(
+            p0, prior, obs, GaussianNIW, num_iters=15, method="scan"
+        )
+        mesh = make_time_mesh(4)
+        ts_p, ts_elbos = fit_long_chain(
+            p0, prior, obs[0], GaussianNIW, mesh, num_iters=15
+        )
+        np.testing.assert_allclose(
+            np.array(ts_elbos), np.array(ref_elbos), rtol=2e-5
+        )
+        np.testing.assert_allclose(
+            np.array(ts_p.trans), np.array(ref_p.trans), rtol=1e-3
+        )
+        np.testing.assert_allclose(
+            np.array(ts_p.emit.mean), np.array(ref_p.emit.mean), atol=1e-3
+        )
+
+    def test_multinomial_chain(self):
+        from pysvihmm_tpu.data.synthetic import gen_multinomial_dataset
+        from pysvihmm_tpu.distributions import MultinomialDirichlet
+        from pysvihmm_tpu.engines import batch_vb
+        from pysvihmm_tpu.models.hmm import init_params, make_prior
+        from pysvihmm_tpu.parallel import fit_long_chain, make_time_mesh
+
+        obs, _, _ = gen_multinomial_dataset(
+            jax.random.PRNGKey(5), K=3, V=6, num_seqs=1, T=240
+        )
+        prior = make_prior(3, MultinomialDirichlet, num_symbols=6)
+        p0 = init_params(jax.random.PRNGKey(2), prior, MultinomialDirichlet, obs)
+        _, ref_elbos = batch_vb.fit(
+            p0, prior, obs, MultinomialDirichlet, num_iters=10, method="scan"
+        )
+        mesh = make_time_mesh(8)
+        _, ts_elbos = fit_long_chain(
+            p0, prior, obs[0], MultinomialDirichlet, mesh, num_iters=10
+        )
+        np.testing.assert_allclose(np.array(ts_elbos), np.array(ref_elbos), rtol=2e-5)
+
+
 class TestBlockedFBEdge:
     def test_extreme_underflow_resistance(self, enable_x64):
         """Per-tile renormalization must survive T=5000 of strongly-peaked
