@@ -63,7 +63,11 @@ def bench_jax(batch=1024, iters=20, method="scan"):
             # silently measures an E-step with free likelihoods (training
             # recomputes them every step: the M-step moves the params).
             p_var = jax.tree.map(lambda x: x + carry * 1e-30, params_)
-            stats, gamma = batch_local_step(p_var, GaussianNIW, obs_, method)
+            # need_gamma=False: training steps consume only the stats; on
+            # the fully-fused path this skips materializing gamma entirely
+            stats, gamma = batch_local_step(
+                p_var, GaussianNIW, obs_, method, need_gamma=False
+            )
             # consume EVERY stat (cheap reductions) so XLA cannot dead-
             # code-eliminate the backward pass, the pairwise stats, or the
             # emission stats — this times the full production E-step.

@@ -40,19 +40,31 @@ def batch_local_step(
     obs: jax.Array,
     method: str = "auto",
     weights: jax.Array | None = None,
+    need_gamma: bool = True,
 ) -> tuple[LocalStats, jax.Array]:
     """Full local update over a batch of sequences.
 
     obs: (B, T, D) float or (B, T) int. weights: optional (B, T) kept-mask.
     Returns (summed stats, gamma (B, T, K)). method="pallas" runs the fused
     lane-packed kernels (messages/pallas_fb.py) with packed emission stats;
-    "auto" (default) resolves to pallas on TPU and scan elsewhere; other
-    methods batch via messages.e_step_batched (vmapped, each scan step a
-    (B, K) @ (K, K) MXU matmul).
+    "pallas_fused" runs the fully-fused kernels (likelihood matmul and
+    emission stats in-kernel; with need_gamma=False the smoothed marginals
+    are never materialized and gamma comes back None — the training-step
+    configuration). "auto" (default) resolves to pallas on TPU and scan
+    elsewhere; other methods batch via messages.e_step_batched (vmapped,
+    each scan step a (B, K) @ (K, K) MXU matmul).
     """
     method = messages.resolve_method(method, time_len=obs.shape[1])
 
-    if method == "pallas":
+    if method == "pallas_fused":
+        fb, emit_stats = _pallas_fused_estep(
+            params, emission, obs, weights, need_gamma=need_gamma
+        )
+        B, T = obs.shape[0], obs.shape[1]
+        K = params.init.shape[0]
+        if need_gamma:
+            fb = fb._replace(gamma=jnp.swapaxes(fb.gamma.reshape(T, B, K), 0, 1))
+    elif method == "pallas":
         fb, emit_stats = _pallas_packed_estep(params, emission, obs, weights)
         B, T = obs.shape[0], obs.shape[1]
         K = params.init.shape[0]
@@ -129,6 +141,64 @@ def _pallas_packed_estep(params, emission, obs, weights=None):
     return fb, emit_stats
 
 
+def _fused_feats_W(emission, emit_params, obs_tm):
+    """(feats (T, B, F), W (F, K)) so that expected log-lik = feats @ W.
+
+    GaussianNIW: feats = [1, y, y (x) y], W = niw.ell_feature_matrix.
+    MultinomialDirichlet: feats = one-hot(y), W = E[log phi]^T.
+    """
+    from ..distributions import dirichlet
+    from ..distributions.emissions import MultinomialDirichlet
+
+    if emission is MultinomialDirichlet:
+        V = emit_params.shape[-1]
+        W = jnp.swapaxes(dirichlet.expected_log_probs(emit_params), 0, 1)  # (V, K)
+        feats = jax.nn.one_hot(obs_tm, V, dtype=jnp.float32)
+        return feats, W
+    return emission.ell_features(obs_tm), emission.ell_feature_matrix(emit_params)
+
+
+def _unpack_emit_stats(emission, emit_params, S):
+    """(K, F) fused-kernel accumulator -> the emission family's stats pytree."""
+    from ..distributions.emissions import MultinomialDirichlet
+    from ..distributions.niw import GaussianStats
+
+    if emission is MultinomialDirichlet:
+        return S
+    D = emit_params.mean.shape[-1]
+    K = S.shape[0]
+    return GaussianStats(
+        n=S[:, 0], sum_y=S[:, 1 : 1 + D], sum_yyT=S[:, 1 + D :].reshape(K, D, D)
+    )
+
+
+def _pallas_fused_estep(params, emission, obs, weights=None, need_gamma=True):
+    """Fully-fused kernel E-step (likelihoods + FB + all stats in-kernel).
+
+    Returns (FBResult with gamma packed (T, B/P, P*K) or None, emission
+    stats pytree). See messages/pallas_fb.py::pallas_estep_fused.
+    """
+    from ..messages.pallas_fb import on_tpu, pallas_estep_fused
+
+    log_pi, log_A = expected_log_params(params)
+    if obs.ndim == 3:
+        obs_tm = jax.lax.optimization_barrier(jnp.swapaxes(obs, 0, 1))
+    else:
+        obs_tm = jnp.swapaxes(obs, 0, 1)
+    feats, W = _fused_feats_W(emission, params.emit, obs_tm)
+    w_tm = jnp.swapaxes(weights, 0, 1) if weights is not None else None
+    fb, S = pallas_estep_fused(
+        log_pi,
+        log_A,
+        W,
+        feats,
+        weights=w_tm,
+        emit_gamma=need_gamma,
+        interpret=not on_tpu(),
+    )
+    return fb, _unpack_emit_stats(emission, params.emit, S)
+
+
 def windowed_local_step(
     params: HMMParams,
     emission,
@@ -150,8 +220,13 @@ def windowed_local_step(
     gather), so no whole-array (B,W,K)<->(W,B,K) re-layout copies are paid.
     """
     method = messages.resolve_method(method, time_len=windows.shape[1])
-    if method == "pallas":
-        fb, emit_stats = _pallas_packed_estep(params, emission, windows, maskf)
+    if method in ("pallas", "pallas_fused"):
+        if method == "pallas_fused":
+            fb, emit_stats = _pallas_fused_estep(
+                params, emission, windows, maskf, need_gamma=True
+            )
+        else:
+            fb, emit_stats = _pallas_packed_estep(params, emission, windows, maskf)
         gamma_packed = fb.gamma  # (W, R, P*K)
         B = windows.shape[0]
         K = params.init.shape[0]

@@ -308,6 +308,203 @@ def _bwd_kernel(
         acc_ref[:, :] += outer_acc(a_blk, d_blk)
 
 
+def _fwd_kernel_fused(
+    pi_ref, A_ref, W_ref, feats_ref, alpha_ref, s_ref, sh_ref, carry, llbuf,
+    *, C, m, K, prec, ll_prec
+):
+    """Forward tile with the expected-log-likelihood matmul FUSED in.
+
+    Identical recursion to :func:`_fwd_kernel`, but instead of reading a
+    precomputed (C, R, PK) log-likelihood block it reads the lane-packed
+    per-observation FEATURES (C, R, PF) plus the block-diagonal weight
+    matrix kron(I_P, W) (PF, PK) and computes the tile's log-likelihoods
+    with one batched MXU matmul in the prologue (into VMEM scratch llbuf —
+    the T*B*K log-likelihood array never exists in HBM). For GaussianNIW,
+    feats = [1, y, y (x) y] and W = ell_feature_matrix (distributions/niw);
+    for MultinomialDirichlet, feats = one-hot(y) and W = E[log phi]^T.
+    """
+    j = pl.program_id(1)
+    PK = A_ref.shape[0]
+    tile_r = feats_ref.shape[1]
+    PF = feats_ref.shape[2]
+
+    f2 = feats_ref[...].reshape(C * tile_r, PF)
+    ll = lax.dot_general(
+        f2, W_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=ll_prec,
+    )
+    llbuf[...] = ll.reshape(C, tile_r, PK)
+
+    def lik(p):
+        return _seg_shift_exp(llbuf[p], K)
+
+    def raw_step(a_prev, lik_t):
+        return (
+            jnp.dot(
+                a_prev, A_ref[:, :],
+                preferred_element_type=jnp.float32, precision=prec,
+            )
+            * lik_t
+        )
+
+    lik0 = lik(0)
+    a = jnp.where(
+        j == 0,
+        pi_ref[0, :][None, :] * lik0,
+        raw_step(carry[:, :], lik0),
+    )
+    alpha_ref[0] = a
+    q = jnp.sum(a, axis=-1, keepdims=True)
+    for p in range(1, C):
+        if p % m == 0:
+            a = a / q
+        a = raw_step(a, lik(p))
+        alpha_ref[p] = a
+        q = jnp.sum(a, axis=-1, keepdims=True)
+    carry[:, :] = a / q
+
+    # epilogue: per-sequence stored scales + the max shifts (see _fwd_kernel)
+    P = PK // K
+    sel = (
+        jax.lax.broadcasted_iota(jnp.int32, (P, PK), 1) // K
+        == jax.lax.broadcasted_iota(jnp.int32, (P, PK), 0)
+    ).astype(jnp.float32)
+    a2 = alpha_ref[...].reshape(C * tile_r, PK)
+    s2 = lax.dot_general(
+        sel, a2, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    )
+    s_ref[...] = s2.reshape(P, C, tile_r)
+    for p in range(P):
+        sh_ref[p] = jnp.max(llbuf[:, :, p * K : (p + 1) * K], axis=-1)
+
+
+def _bwd_kernel_fused(
+    A_ref, W_ref, feats_ref, alpha_ref, v_ref, seed_ref, *rest,
+    C, m, K, gated, emit_gamma, prec, ll_prec, stats_prec
+):
+    """Backward tile fusing beta + gamma + pair stats + EMISSION stats.
+
+    Like :func:`_bwd_kernel` but (a) log-likelihoods are recomputed from
+    the features block (same matmul as the fused forward — bit-identical),
+    and (b) the emission sufficient stats sum_t w_t gamma_t f_t^T is
+    accumulated per tile as ONE (PK, C*R) x (C*R, PF) MXU matmul into a
+    VMEM-resident (PK, PF) accumulator — the packed gamma array is then
+    never read back from HBM, and with emit_gamma=False it is never even
+    written (training consumes only the stats; the t=0 smoothed marginal
+    that init_stats needs comes out through the tiny gamma0 output).
+
+    rest (in order): [w_ref if gated] [g_ref if gated] then outputs
+    (gamma_ref | gamma0_ref), acc_ref, eacc_ref, then scratches bcarry,
+    dcarry, dstash, llbuf, gbuf. w_ref is the kept-mask (C, R, P) gating
+    the emission/init stats; g_ref the pair gate for the transition stats.
+    """
+    idx = 0
+    if gated:
+        w_ref, g_ref = rest[0], rest[1]
+        idx = 2
+    else:
+        w_ref = g_ref = None
+    gout_ref, acc_ref, eacc_ref = rest[idx], rest[idx + 1], rest[idx + 2]
+    bcarry, dcarry, dstash, llbuf, gbuf = rest[idx + 3 :]
+
+    P = A_ref.shape[0] // K
+    PK_dim = A_ref.shape[0]
+    tile_r = feats_ref.shape[1]
+    PF = feats_ref.shape[2]
+
+    def lane_bcast(gc):
+        if P == 1:
+            return gc
+        return jnp.concatenate(
+            [jnp.broadcast_to(gc[:, p : p + 1], (gc.shape[0], K)) for p in range(P)],
+            axis=-1,
+        )
+
+    def seg_inv(x):
+        if P == 1:
+            return 1.0 / jnp.sum(x, axis=-1, keepdims=True)
+        return jnp.concatenate(
+            [
+                jnp.broadcast_to(
+                    1.0 / jnp.sum(x[:, p * K : (p + 1) * K], axis=-1, keepdims=True),
+                    (x.shape[0], K),
+                )
+                for p in range(P)
+            ],
+            axis=-1,
+        )
+
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    nT = pl.num_programs(1)
+
+    @pl.when((i == 0) & (j == 0))
+    def _():
+        acc_ref[:, :] = jnp.zeros_like(acc_ref)
+        eacc_ref[:, :] = jnp.zeros_like(eacc_ref)
+
+    @pl.when(j == 0)
+    def _():
+        bcarry[:, :] = seed_ref[:, :]
+
+    # prologue: recompute this tile's log-likelihoods (bit-identical to fwd)
+    f2 = feats_ref[...].reshape(C * tile_r, PF)
+    ll = lax.dot_general(
+        f2, W_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=ll_prec,
+    )
+    llbuf[...] = ll.reshape(C, tile_r, PK_dim)
+
+    def outer_acc(a, d, p_):
+        return lax.dot_general(
+            a, d, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=p_,
+        )
+
+    def chain_step(d):
+        return lax.dot_general(
+            d, A_ref[:, :], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+
+    @pl.when(j != 0)
+    def _():
+        acc_ref[:, :] += outer_acc(alpha_ref[C - 1], dcarry[:, :], prec)
+
+    beta = bcarry[:, :]
+    for c in range(C - 1, -1, -1):
+        graw = alpha_ref[c] * beta
+        inv = seg_inv(graw)  # off the beta chain (outputs only)
+        gamma_c = graw * inv
+        if emit_gamma:
+            gout_ref[c] = gamma_c
+        # stats-side gamma: kept-mask-gated (emission stats and, at t=0,
+        # the init stats both want w_t * gamma_t)
+        gbuf[c] = gamma_c * lane_bcast(w_ref[c]) if gated else gamma_c
+        d = _seg_shift_exp(llbuf[c], K) * beta
+        if c % m == 0:
+            d = d * v_ref[0, c // m][:, None]
+        dstash[c] = (d * lane_bcast(g_ref[c]) if gated else d) * inv
+        beta = chain_step(d)
+    bcarry[:, :] = beta
+    dcarry[:, :] = dstash[0]
+    if not emit_gamma:
+        # t = 0 lives in the LAST visited tile (time grid runs reversed)
+        @pl.when(j == nT - 1)
+        def _():
+            gout_ref[:, :] = gbuf[0]
+    if C > 1:
+        a_blk = alpha_ref[0 : C - 1].reshape((C - 1) * tile_r, PK_dim)
+        d_blk = dstash[1:C].reshape((C - 1) * tile_r, PK_dim)
+        acc_ref[:, :] += outer_acc(a_blk, d_blk, prec)
+    # emission-stat accumulation: one batched contraction per tile. Bulk
+    # one-shot sum — stats_prec (DEFAULT/bf16) per the precision policy.
+    eacc_ref[:, :] += outer_acc(
+        gbuf[...].reshape(C * tile_r, PK_dim), f2, stats_prec
+    )
+
+
 def _choose_packing(B: int, K: int) -> int:
     """Sequences per 128-lane row: chain latency scales with ROWS, so pack
     as many K-lane sequences side by side as divide both 128 and B."""
@@ -353,6 +550,229 @@ def _choose_tiles(R: int, T: int, PK: int):
             tile_r //= 2
         C = T
     return tile_r, C
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("interpret", "tiles", "emit_gamma", "precision", "ll_precision", "stats_precision"),
+)
+def pallas_estep_fused(
+    log_pi: jax.Array,
+    log_A: jax.Array,
+    W: jax.Array,  # (F, K) per-observation feature weights: ll = feats @ W
+    feats: jax.Array,  # (T, B, F) TIME-MAJOR per-observation features
+    weights: jax.Array | None = None,  # (T, B) kept-mask (SVI buffers)
+    interpret: bool = False,
+    tiles: tuple[int, int] | None = None,
+    emit_gamma: bool = False,
+    precision: lax.Precision = lax.Precision.HIGHEST,
+    ll_precision: lax.Precision = lax.Precision.HIGH,
+    stats_precision: lax.Precision = lax.Precision.DEFAULT,
+) -> tuple[FBResult, jax.Array]:
+    """Fully-fused batched E-step: likelihoods + FB + ALL stats in-kernel.
+
+    The next fusion tier above :func:`pallas_forward_backward_batched`:
+    the expected-log-likelihood matmul moves INTO both kernels (the
+    (T, B, K) log-likelihood array never exists in HBM; the backward
+    recomputes the tile bit-identically) and the emission sufficient
+    stats sum_t w_t gamma_t f_t^T accumulate INTO the backward kernel
+    (packed gamma is never read back; with emit_gamma=False it is never
+    written — training steps consume only the stats).
+
+    Returns (FBResult, emit_stats (K, F)) where emit_stats is summed over
+    batch and time (kept-mask-gated when weights given). FBResult.gamma
+    is the packed (T, B/P, P*K) array when emit_gamma=True, else None.
+    Per-step log_c / log_z / init_stats / trans_stats follow the standard
+    contract. Precision tiers per utils/precision.py: chains HIGHEST,
+    likelihood matmul HIGH (3-pass), bulk stat sums DEFAULT (bf16).
+    """
+    T, B, F = feats.shape
+    K = log_A.shape[0]
+
+    feats = feats.astype(jnp.float32)
+    w_tm = weights.astype(jnp.float32) if weights is not None else None
+    A_tilde = jnp.exp(log_A).astype(jnp.float32)
+    pi_tilde = jnp.exp(log_pi).astype(jnp.float32)
+
+    P = _choose_packing(B, K)
+    PK = P * K
+    R = B // P
+    PF = P * F
+
+    A_blk = jnp.kron(jnp.eye(P, dtype=jnp.float32), A_tilde)  # (PK, PK)
+    W_blk = jnp.kron(jnp.eye(P, dtype=jnp.float32), W.astype(jnp.float32))  # (PF, PK)
+    pi_blk = jnp.tile(pi_tilde, (P,))[None, :]  # (1, PK)
+
+    feats_p = feats.reshape(T, R, PF)
+
+    tile_r, C = tiles if tiles is not None else _choose_tiles(R, T, PK)
+    if R % tile_r or T % C:
+        raise ValueError(f"tiles {(tile_r, C)} must divide (R={R}, T={T})")
+    if tiles is not None and C > 32:
+        raise ValueError(f"time_tile {C} > 32: statically unrolled in-kernel")
+    nR, nT = R // tile_r, T // C
+    m = RENORM if C % RENORM == 0 else 1
+
+    compiler_params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+    alpha_t, s_out, sh_out = pl.pallas_call(
+        functools.partial(
+            _fwd_kernel_fused, C=C, m=m, K=K, prec=precision, ll_prec=ll_precision
+        ),
+        grid=(nR, nT),
+        in_specs=[
+            pl.BlockSpec((1, PK), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((PK, PK), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((PF, PK), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (C, tile_r, PF), lambda i, j: (j, i, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (C, tile_r, PK), lambda i, j: (j, i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (P, C, tile_r), lambda i, j: (0, j, i), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (P, C, tile_r), lambda i, j: (0, j, i), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, R, PK), jnp.float32),
+            jax.ShapeDtypeStruct((P, T, R), jnp.float32),
+            jax.ShapeDtypeStruct((P, T, R), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((tile_r, PK), jnp.float32),
+            pltpu.VMEM((C, tile_r, PK), jnp.float32),
+        ],
+        compiler_params=None if interpret else compiler_params,
+        interpret=interpret,
+    )(pi_blk, A_blk, W_blk, feats_p)
+
+    # scale bookkeeping: identical to the split path
+    q = jnp.sum(s_out, axis=0)  # (T, R)
+    log_s3 = jnp.log(s_out)
+    log_q_rows = jnp.log(q)
+    steps = jnp.arange(T)
+    corr3 = jnp.where((steps % m == 0) & (steps > 0), 1.0, 0.0)[None, :, None]
+    zP = jnp.zeros((P, 1, R), jnp.float32)
+    prev3 = jnp.concatenate([zP, log_s3[:, :-1]], axis=1)
+    prev_q3 = jnp.concatenate(
+        [jnp.zeros((1, 1, R), jnp.float32), log_q_rows[None, :-1]], axis=1
+    )
+    log_c3 = log_s3 - prev3 + corr3 * prev_q3 + sh_out
+    log_c = jnp.transpose(log_c3, (2, 0, 1)).reshape(B, T)
+
+    q_prev = jnp.concatenate([jnp.ones((1, R), jnp.float32), q[:-1]], axis=0)
+    v = (1.0 / q_prev[::m]).reshape(nT, C // m, R)
+    seed = jnp.repeat(1.0 / jnp.swapaxes(s_out[:, T - 1, :], 0, 1), K, axis=-1)
+
+    gated = w_tm is not None
+    bwd_inputs = [A_blk, W_blk, feats_p, alpha_t, v, seed]
+    bwd_in_specs = [
+        pl.BlockSpec((PK, PK), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((PF, PK), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (C, tile_r, PF),
+            lambda i, j, nT=nT: (nT - 1 - j, i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (C, tile_r, PK),
+            lambda i, j, nT=nT: (nT - 1 - j, i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (1, C // m, tile_r),
+            lambda i, j, nT=nT: (nT - 1 - j, 0, i),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec((tile_r, PK), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+    ]
+    if gated:
+        w3 = w_tm.reshape(T, R, P)
+        g = jnp.concatenate(
+            [jnp.zeros((1, B), jnp.float32), w_tm.reshape(T, B)[:-1] * w_tm.reshape(T, B)[1:]],
+            axis=0,
+        ).reshape(T, R, P)
+        bwd_inputs += [w3, g]
+        for _ in range(2):
+            bwd_in_specs.append(
+                pl.BlockSpec(
+                    (C, tile_r, P),
+                    lambda i, j, nT=nT: (nT - 1 - j, i, 0),
+                    memory_space=pltpu.VMEM,
+                )
+            )
+
+    if emit_gamma:
+        gamma_spec = pl.BlockSpec(
+            (C, tile_r, PK),
+            lambda i, j, nT=nT: (nT - 1 - j, i, 0),
+            memory_space=pltpu.VMEM,
+        )
+        gamma_shape = jax.ShapeDtypeStruct((T, R, PK), jnp.float32)
+    else:
+        gamma_spec = pl.BlockSpec(
+            (tile_r, PK), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+        )
+        gamma_shape = jax.ShapeDtypeStruct((R, PK), jnp.float32)
+
+    gamma_out, acc, eacc = pl.pallas_call(
+        functools.partial(
+            _bwd_kernel_fused,
+            C=C, m=m, K=K, gated=gated, emit_gamma=emit_gamma,
+            prec=precision, ll_prec=ll_precision, stats_prec=stats_precision,
+        ),
+        grid=(nR, nT),
+        in_specs=bwd_in_specs,
+        out_specs=[
+            gamma_spec,
+            pl.BlockSpec((PK, PK), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((PK, PF), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            gamma_shape,
+            jax.ShapeDtypeStruct((PK, PK), jnp.float32),
+            jax.ShapeDtypeStruct((PK, PF), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((tile_r, PK), jnp.float32),
+            pltpu.VMEM((tile_r, PK), jnp.float32),
+            pltpu.VMEM((C, tile_r, PK), jnp.float32),
+            pltpu.VMEM((C, tile_r, PK), jnp.float32),
+            pltpu.VMEM((C, tile_r, PK), jnp.float32),
+        ],
+        compiler_params=None if interpret else compiler_params,
+        interpret=interpret,
+    )(*bwd_inputs)
+
+    log_z = jnp.sum(log_c, axis=-1)
+    acc_kk = sum(acc[p * K : (p + 1) * K, p * K : (p + 1) * K] for p in range(P))
+    trans_stats = A_tilde * acc_kk
+    emit_stats = sum(eacc[p * K : (p + 1) * K, p * F : (p + 1) * F] for p in range(P))
+
+    if emit_gamma:
+        init_g = gamma_out[0].reshape(B, K)
+        if gated:
+            init_g = init_g * w_tm.reshape(T, B)[0][:, None]
+        gamma = gamma_out
+    else:
+        # gamma0 output is already kept-mask-gated in-kernel
+        init_g = gamma_out.reshape(B, K)
+        gamma = None
+
+    fb = FBResult(
+        gamma=gamma,
+        log_z=log_z,
+        trans_stats=trans_stats,
+        init_stats=init_g,
+        log_c=log_c,
+    )
+    return fb, emit_stats
 
 
 @functools.partial(

@@ -171,6 +171,120 @@ class TestPallasFB:
                 np.array(a), np.array(b), rtol=2e-4, atol=1e-5
             )
 
+class TestPallasFusedEstep:
+    """Fully-fused kernels (likelihood matmul + emission stats in-kernel)."""
+
+    def _gauss_problem(self, B, T, K, D, seed=0):
+        from pysvihmm_tpu.data.synthetic import gen_gaussian_dataset
+        from pysvihmm_tpu.distributions import GaussianNIW
+        from pysvihmm_tpu.models.hmm import init_params, make_prior
+
+        obs, _, _ = gen_gaussian_dataset(jax.random.PRNGKey(seed), K, D, B, T)
+        prior = make_prior(K, GaussianNIW, obs_dim=D)
+        params = init_params(jax.random.PRNGKey(seed + 1), prior, GaussianNIW, obs)
+        return params, obs
+
+    @pytest.mark.parametrize("B,T,K,D", [(4, 32, 4, 2), (6, 40, 8, 3)])
+    def test_local_step_matches_scan_gaussian(self, B, T, K, D):
+        from pysvihmm_tpu.distributions import GaussianNIW
+        from pysvihmm_tpu.engines.base import batch_local_step
+
+        params, obs = self._gauss_problem(B, T, K, D)
+        sf, gf = batch_local_step(params, GaussianNIW, obs, "pallas_fused")
+        ss, gs = batch_local_step(params, GaussianNIW, obs, "scan")
+        np.testing.assert_allclose(np.array(gf), np.array(gs), atol=5e-5)
+        np.testing.assert_allclose(np.array(sf.init), np.array(ss.init), atol=5e-5)
+        np.testing.assert_allclose(np.array(sf.trans), np.array(ss.trans), atol=1e-3)
+        np.testing.assert_allclose(float(sf.log_z), float(ss.log_z), rtol=2e-6)
+        for a, b in zip(jax.tree.leaves(sf.emit), jax.tree.leaves(ss.emit)):
+            np.testing.assert_allclose(np.array(a), np.array(b), rtol=3e-3, atol=2e-3)
+
+    def test_need_gamma_false_same_stats(self):
+        from pysvihmm_tpu.distributions import GaussianNIW
+        from pysvihmm_tpu.engines.base import batch_local_step
+
+        params, obs = self._gauss_problem(4, 32, 4, 2, seed=3)
+        s1, g1 = batch_local_step(params, GaussianNIW, obs, "pallas_fused")
+        s0, g0 = batch_local_step(
+            params, GaussianNIW, obs, "pallas_fused", need_gamma=False
+        )
+        assert g0 is None and g1 is not None
+        for a, b in zip(jax.tree.leaves(s0), jax.tree.leaves(s1)):
+            np.testing.assert_allclose(np.array(a), np.array(b), rtol=1e-6, atol=1e-6)
+
+    def test_multinomial_matches_scan(self):
+        from pysvihmm_tpu.data.synthetic import gen_multinomial_dataset
+        from pysvihmm_tpu.distributions import MultinomialDirichlet
+        from pysvihmm_tpu.engines.base import batch_local_step
+        from pysvihmm_tpu.models.hmm import init_params, make_prior
+
+        K, V, B, T = 4, 6, 4, 32
+        obs, _, _ = gen_multinomial_dataset(jax.random.PRNGKey(4), K, V, B, T)
+        prior = make_prior(K, MultinomialDirichlet, num_symbols=V)
+        params = init_params(jax.random.PRNGKey(5), prior, MultinomialDirichlet, obs)
+        sf, _ = batch_local_step(
+            params, MultinomialDirichlet, obs, "pallas_fused", need_gamma=False
+        )
+        ss, _ = batch_local_step(params, MultinomialDirichlet, obs, "scan")
+        np.testing.assert_allclose(np.array(sf.trans), np.array(ss.trans), atol=1e-3)
+        np.testing.assert_allclose(np.array(sf.emit), np.array(ss.emit), atol=2e-3)
+        np.testing.assert_allclose(float(sf.log_z), float(ss.log_z), rtol=2e-6)
+
+    def test_windowed_fused_vs_scan(self):
+        """SVI windows: kept-masks gate emission/init/trans stats identically
+        on the fused path (weights stay OFF the likelihood side — buffer
+        steps must still drive the chain)."""
+        from pysvihmm_tpu.distributions import GaussianNIW
+        from pysvihmm_tpu.engines.base import windowed_local_step
+        from pysvihmm_tpu.engines.svi import _gather_windows
+        from pysvihmm_tpu.models.hmm import init_params, make_prior
+        from pysvihmm_tpu.data.synthetic import gen_gaussian_dataset
+
+        K, D, T, B, W, L = 4, 2, 64, 6, 16, 10
+        obs, _, _ = gen_gaussian_dataset(jax.random.PRNGKey(0), K, D, 1, T)
+        chain = obs[0]
+        prior = make_prior(K, GaussianNIW, obs_dim=D)
+        params = init_params(jax.random.PRNGKey(1), prior, GaussianNIW, obs)
+        ws = jax.random.randint(jax.random.PRNGKey(2), (B,), 0, T - W + 1)
+        windows = _gather_windows(chain, ws, W)
+        offs = jnp.arange(B) % (W - L + 1)
+        pos = jnp.arange(W)[None, :]
+        maskf = ((pos >= offs[:, None]) & (pos < offs[:, None] + L)).astype(jnp.float32)
+        out_f = windowed_local_step(
+            params, GaussianNIW, windows, maskf, offs, "pallas_fused"
+        )
+        out_s = windowed_local_step(params, GaussianNIW, windows, maskf, offs, "scan")
+        for a, b in zip(jax.tree.leaves(out_f), jax.tree.leaves(out_s)):
+            np.testing.assert_allclose(np.array(a), np.array(b), rtol=2e-4, atol=1e-5)
+
+    def test_tiles_override(self):
+        from pysvihmm_tpu.distributions import GaussianNIW
+        from pysvihmm_tpu.engines.base import _pallas_fused_estep
+        from pysvihmm_tpu.messages.pallas_fb import pallas_estep_fused
+        from pysvihmm_tpu.models.hmm import expected_log_params
+
+        params, obs = self._gauss_problem(16, 64, 32, 2, seed=7)  # P=4, R=4
+        log_pi, log_A = expected_log_params(params)
+        from pysvihmm_tpu.distributions import niw
+
+        obs_tm = jnp.swapaxes(obs, 0, 1)
+        feats = niw.ell_features(obs_tm)
+        W = niw.ell_feature_matrix(params.emit)
+        ref, Sref = pallas_estep_fused(
+            log_pi, log_A, W, feats, interpret=True, emit_gamma=True
+        )
+        for tiles in [(4, 8), (2, 16), (1, 32)]:
+            fb, S = pallas_estep_fused(
+                log_pi, log_A, W, feats, interpret=True, tiles=tiles, emit_gamma=True
+            )
+            np.testing.assert_allclose(np.array(fb.gamma), np.array(ref.gamma), atol=2e-6)
+            np.testing.assert_allclose(np.array(S), np.array(Sref), rtol=2e-5, atol=2e-5)
+            np.testing.assert_allclose(
+                np.array(fb.trans_stats), np.array(ref.trans_stats), atol=2e-5
+            )
+
+
+class TestPallasAccuracy:
     def test_long_chain_f64_oracle(self):
         """Long-chain accuracy regression vs the float64 oracle.
 
