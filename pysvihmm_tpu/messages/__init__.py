@@ -31,7 +31,10 @@ from .scan_fb import (
 )
 from .assoc_fb import forward_backward_assoc, log_normalizer_assoc
 from .blocked import forward_backward_blocked
-from .time_sharded import time_sharded_forward_backward
+from .time_sharded import (
+    time_sharded_forward_backward,
+    time_sharded_forward_backward_batched,
+)
 
 
 def e_step_grad(
@@ -151,6 +154,7 @@ __all__ = [
     "forward_backward_assoc",
     "forward_backward_blocked",
     "time_sharded_forward_backward",
+    "time_sharded_forward_backward_batched",
     "forward_filter_log",
     "log_normalizer",
     "log_normalizer_assoc",

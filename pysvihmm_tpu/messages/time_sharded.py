@@ -1,5 +1,5 @@
-"""Exact forward-backward for ONE long chain with the TIME axis sharded
-over a device mesh — the framework's context-parallelism analog.
+"""Exact forward-backward with the TIME axis sharded over a device mesh —
+the framework's context-parallelism analog.
 
 The reference scales long chains only *algorithmically* (buffered subchain
 minibatching — SURVEY.md §2.4 "sequence parallelism" row); for exact
@@ -30,6 +30,12 @@ loop. Here the chain is cut into D contiguous tiles, one per device on a
 
 Per-step weights (SVI kept-masks) are supported the same way scan_fb
 supports them: weights gate init/trans stats only.
+
+Two entry points: :func:`time_sharded_forward_backward` for one (T, K)
+chain on a 1-D ``time`` mesh, and
+:func:`time_sharded_forward_backward_batched` for a (B, T, K) batch of
+long chains on a 2-D (``data``, ``time``) mesh — batch data-parallelism
+and exact in-chain time-parallelism composed in one shard_map.
 """
 
 from __future__ import annotations
@@ -82,6 +88,72 @@ def _backward_seeded(A_tilde, lik, beta_last):
     return jnp.concatenate([betas, beta_last[None]], axis=0)
 
 
+def _chain_tile_fb(log_pi, log_A, ll, w, idx, w_prev, D, axis):
+    """Per-chain local tile of the three-phase schedule (see module doc).
+
+    ll: (C, K) this device's tile of ONE chain's log-likelihoods; w (C,)
+    kept-mask; idx this device's index on the time axis; w_prev the LEFT
+    neighbor's final kept-mask value. Collectives run over ``axis``.
+    Returns per-tile (gamma, log_c, trans_partial, init_partial, log_z_part)
+    where the partials still need a psum over ``axis``.
+    """
+    K = log_A.shape[0]
+    A_tilde = jnp.exp(log_A)
+    lik, _ = _normalize_loglik(ll)
+
+    # --- phase 1: tile operator (batched, no chain) ---
+    S = A_tilde[None, :, :] * lik[:, None, :]  # S_t = A~ diag(lik_t)
+    # tile 0's first factor is diag(lik_0): alpha_0 ∝ pi~ @ diag(lik_0)
+    first = jnp.where(idx == 0, jnp.eye(K, dtype=lik.dtype) * lik[0][None, :], S[0])
+    S = jnp.concatenate([first[None], S[1:]], axis=0)
+    Q = _tree_product(S)
+
+    # --- phase 2: boundary recursions on gathered tile operators ---
+    Qg = lax.all_gather(Q, axis)  # (D, K, K), tiny
+    a = jnp.exp(log_pi)
+    a_last = []  # a_last[d] = normalized filtered alpha at tile d's last step
+    for d in range(D):
+        a = a @ Qg[d]
+        a = a / jnp.sum(a)
+        a_last.append(a)
+    a_last = jnp.stack(a_last)  # (D, K)
+    b = jnp.full((K,), 1.0 / K, lik.dtype)
+    b_last = [b]  # beta at each tile's last step, built right-to-left
+    for d in range(D - 1, 0, -1):
+        b = Qg[d] @ b
+        b = b / jnp.sum(b)
+        b_last.append(b)
+    b_last = jnp.stack(b_last[::-1])  # (D, K), indexed by tile
+
+    # --- phase 3: seeded local sweeps (sequential depth T/D) ---
+    a_in = jnp.take(a_last, jnp.maximum(idx - 1, 0), axis=0)  # alpha_{t0-1}
+    log_pi_loc = jnp.where(
+        idx == 0, log_pi, jnp.log(jnp.maximum(a_in @ A_tilde, 1e-38))
+    )
+    alpha, _, log_c = forward_with_logc(log_pi_loc, log_A, ll)
+    beta = _backward_seeded(A_tilde, lik, jnp.take(b_last, idx, axis=0))
+
+    g = alpha * beta
+    gamma = g / jnp.sum(g, axis=-1, keepdims=True)
+
+    # internal transitions (local matmul trick, as scan_fb)
+    bl = lik[1:] * beta[1:]
+    n = jnp.einsum("tk,tk->t", alpha[:-1] @ A_tilde, bl)
+    w_pair = w[:-1] * w[1:]
+    alpha_w = alpha[:-1] * (w_pair / n)[:, None]
+    trans_partial = A_tilde * (alpha_w.T @ bl)
+    # boundary transition INTO this tile (t = t0-1 -> t0), devices d>0.
+    # Needs only a_in (replicated chain), our first lik row and beta.
+    blb = lik[0] * beta[0]
+    xi_b = A_tilde * jnp.outer(a_in, blb)
+    xi_b = xi_b / jnp.sum(xi_b)
+    gate = jnp.where(idx == 0, 0.0, w_prev * w[0])
+    trans_partial = trans_partial + gate * xi_b
+
+    init_partial = jnp.where(idx == 0, w[0] * gamma[0], jnp.zeros((K,), lik.dtype))
+    return gamma, log_c, trans_partial, init_partial, jnp.sum(log_c)
+
+
 def time_sharded_forward_backward(
     log_pi: jax.Array,
     log_A: jax.Array,
@@ -104,8 +176,7 @@ def time_sharded_forward_backward(
 
     spec_t = P(axis)
     spec_tk = P(axis, None)
-    has_w = weights is not None
-    w_arg = weights if has_w else jnp.ones((T,), log_lik.dtype)
+    w_arg = weights if weights is not None else jnp.ones((T,), log_lik.dtype)
 
     @partial(
         shard_map,
@@ -116,64 +187,84 @@ def time_sharded_forward_backward(
     )
     def fb(log_pi, log_A, ll, w):
         idx = lax.axis_index(axis)
-        A_tilde = jnp.exp(log_A)
-        lik, _ = _normalize_loglik(ll)  # (C, K) local tile
-
-        # --- phase 1: tile operator (batched, no chain) ---
-        S = A_tilde[None, :, :] * lik[:, None, :]  # S_t = A~ diag(lik_t)
-        # tile 0's first factor is diag(lik_0): alpha_0 ∝ pi~ @ diag(lik_0)
-        first = jnp.where(idx == 0, jnp.eye(K, dtype=lik.dtype) * lik[0][None, :], S[0])
-        S = jnp.concatenate([first[None], S[1:]], axis=0)
-        Q = _tree_product(S)
-
-        # --- phase 2: boundary recursions on gathered tile operators ---
-        Qg = lax.all_gather(Q, axis)  # (D, K, K), tiny
-        a = jnp.exp(log_pi)
-        a_last = []  # a_last[d] = normalized filtered alpha at tile d's last step
-        for d in range(D):
-            a = a @ Qg[d]
-            a = a / jnp.sum(a)
-            a_last.append(a)
-        a_last = jnp.stack(a_last)  # (D, K)
-        b = jnp.full((K,), 1.0 / K, lik.dtype)
-        b_last = [b]  # b_last[j] = normalized beta at tile (D-1-j)'s last step
-        for d in range(D - 1, 0, -1):
-            b = Qg[d] @ b
-            b = b / jnp.sum(b)
-            b_last.append(b)
-        b_last = jnp.stack(b_last[::-1])  # (D, K), indexed by tile
-
-        # --- phase 3: seeded local sweeps (sequential depth T/D) ---
-        a_in = jnp.take(a_last, jnp.maximum(idx - 1, 0), axis=0)  # alpha_{t0-1}
-        log_pi_loc = jnp.where(
-            idx == 0, log_pi, jnp.log(jnp.maximum(a_in @ A_tilde, 1e-38))
-        )
-        alpha, _, log_c = forward_with_logc(log_pi_loc, log_A, ll)
-        beta = _backward_seeded(A_tilde, lik, jnp.take(b_last, idx, axis=0))
-
-        g = alpha * beta
-        gamma = g / jnp.sum(g, axis=-1, keepdims=True)
-
-        # internal transitions (local matmul trick, as scan_fb)
-        bl = lik[1:] * beta[1:]
-        n = jnp.einsum("tk,tk->t", alpha[:-1] @ A_tilde, bl)
-        w_pair = w[:-1] * w[1:]
-        alpha_w = alpha[:-1] * (w_pair / n)[:, None]
-        trans_stats = A_tilde * (alpha_w.T @ bl)
-        # boundary transition INTO this tile (t = t0-1 -> t0), devices d>0.
-        # Needs only a_in (replicated chain), our first lik row and beta.
-        blb = lik[0] * beta[0]
-        xi_b = A_tilde * jnp.outer(a_in, blb)
-        xi_b = xi_b / jnp.sum(xi_b)
         w_prev = lax.ppermute(w[-1], axis, [(i, (i + 1) % D) for i in range(D)])
-        gate = jnp.where(idx == 0, 0.0, w_prev * w[0])
-        trans_stats = trans_stats + gate * xi_b
-        trans_stats = lax.psum(trans_stats, axis)
+        gamma, log_c, trans_p, init_p, log_z_p = _chain_tile_fb(
+            log_pi, log_A, ll, w, idx, w_prev, D, axis
+        )
+        return (
+            gamma,
+            lax.psum(log_z_p, axis),
+            lax.psum(trans_p, axis),
+            lax.psum(init_p, axis),
+            log_c,
+        )
 
-        init_stats = jnp.where(idx == 0, w[0] * gamma[0], jnp.zeros((K,), lik.dtype))
-        init_stats = lax.psum(init_stats, axis)
-        log_z = lax.psum(jnp.sum(log_c), axis)
-        return gamma, log_z, trans_stats, init_stats, log_c
+    gamma, log_z, trans_stats, init_stats, log_c = fb(log_pi, log_A, log_lik, w_arg)
+    return FBResult(
+        gamma=gamma,
+        log_z=log_z,
+        trans_stats=trans_stats,
+        init_stats=init_stats,
+        log_c=log_c,
+    )
+
+
+def time_sharded_forward_backward_batched(
+    log_pi: jax.Array,
+    log_A: jax.Array,
+    log_lik: jax.Array,  # (B, T, K)
+    mesh: Mesh,
+    batch_axis: str = "data",
+    time_axis: str = "time",
+    weights: jax.Array | None = None,
+) -> FBResult:
+    """Exact batched FB on a 2-D (batch, time) mesh: B chains data-parallel,
+    each chain's time axis sharded — BASELINE configs 4 and 5 composed.
+
+    Contract mirrors ``messages.e_step_batched``: gamma (B, T, K) and
+    log_c (B, T) sharded (batch, time); log_z (B,) and init_stats (B, K)
+    sharded over batch; trans_stats (K, K) summed over ALL chains and
+    replicated. B must divide the batch axis, T the time axis.
+    """
+    B, T, K = log_lik.shape
+    Db = mesh.shape[batch_axis]
+    Dt = mesh.shape[time_axis]
+    if B % Db != 0:
+        raise ValueError(f"B={B} must be divisible by batch-axis size {Db}")
+    if T % Dt != 0:
+        raise ValueError(f"T={T} must be divisible by time-axis size {Dt}")
+
+    w_arg = weights if weights is not None else jnp.ones((B, T), log_lik.dtype)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(batch_axis, time_axis, None), P(batch_axis, time_axis)),
+        out_specs=(
+            P(batch_axis, time_axis, None),
+            P(batch_axis),
+            P(),
+            P(batch_axis, None),
+            P(batch_axis, time_axis),
+        ),
+        check_vma=False,
+    )
+    def fb(log_pi, log_A, ll, w):  # ll (B_loc, C, K), w (B_loc, C)
+        idx = lax.axis_index(time_axis)
+        perm = [(i, (i + 1) % Dt) for i in range(Dt)]
+        w_prev = lax.ppermute(w[:, -1], time_axis, perm)  # (B_loc,)
+        gamma, log_c, trans_p, init_p, log_z_p = jax.vmap(
+            lambda ll_b, w_b, wp_b: _chain_tile_fb(
+                log_pi, log_A, ll_b, w_b, idx, wp_b, Dt, time_axis
+            )
+        )(ll, w, w_prev)
+        return (
+            gamma,
+            lax.psum(log_z_p, time_axis),
+            lax.psum(jnp.sum(trans_p, axis=0), (batch_axis, time_axis)),
+            lax.psum(init_p, time_axis),
+            log_c,
+        )
 
     gamma, log_z, trans_stats, init_stats, log_c = fb(log_pi, log_A, log_lik, w_arg)
     return FBResult(

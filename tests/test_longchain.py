@@ -114,6 +114,38 @@ class TestTimeShardedFB:
             time_sharded_forward_backward(log_pi, log_A, ll, mesh)
 
 
+class TestTimeSharded2D:
+    """Batch x time 2-D mesh: data parallelism + exact context parallelism."""
+
+    @pytest.mark.parametrize("db,dt,B,T,K", [(2, 4, 4, 40, 5), (4, 2, 8, 16, 3)])
+    def test_matches_batched_scan(self, db, dt, B, T, K, enable_x64):
+        from jax.sharding import Mesh
+        from pysvihmm_tpu.messages.time_sharded import (
+            time_sharded_forward_backward_batched,
+        )
+
+        mesh = Mesh(np.array(jax.devices()[: db * dt]).reshape(db, dt), ("data", "time"))
+        log_pi = jnp.array(np.log(rng.dirichlet(np.ones(K))))
+        log_A = jnp.array(np.log(rng.dirichlet(np.ones(K), size=K)))
+        ll = jnp.array(rng.normal(size=(B, T, K)) * 2.0)
+        w = jnp.array((rng.uniform(size=(B, T)) > 0.3).astype(np.float64))
+        a = messages.e_step_batched(log_pi, log_A, ll, weights=w, method="scan")
+        b = jax.jit(
+            lambda p, A, l, wi: time_sharded_forward_backward_batched(
+                p, A, l, mesh, weights=wi
+            )
+        )(log_pi, log_A, ll, w)
+        np.testing.assert_allclose(np.array(b.gamma), np.array(a.gamma), atol=1e-10)
+        np.testing.assert_allclose(np.array(b.log_z), np.array(a.log_z), rtol=1e-11)
+        np.testing.assert_allclose(
+            np.array(b.trans_stats), np.array(a.trans_stats), atol=1e-10
+        )
+        np.testing.assert_allclose(
+            np.array(b.init_stats), np.array(a.init_stats), atol=1e-12
+        )
+        np.testing.assert_allclose(np.array(b.log_c), np.array(a.log_c), atol=1e-10)
+
+
 class TestTimeShardedEngine:
     def test_vb_trajectory_matches_single_device(self):
         """fit_long_chain over a 4-device time mesh reproduces batch VB on
