@@ -45,32 +45,30 @@ def batch_local_step(
     """Full local update over a batch of sequences.
 
     obs: (B, T, D) float or (B, T) int. weights: optional (B, T) kept-mask.
-    Returns (summed stats, gamma (B, T, K)). method="pallas" runs the fused
-    lane-packed kernels (messages/pallas_fb.py) with packed emission stats;
-    "pallas_fused" runs the fully-fused kernels (likelihood matmul and
-    emission stats in-kernel; with need_gamma=False the smoothed marginals
-    are never materialized and gamma comes back None — the training-step
-    configuration). "auto" (default) resolves to pallas on TPU and scan
+    Returns (summed stats, gamma (B, T, K) — or None when need_gamma=False,
+    uniformly across methods: training steps consume only the stats, and on
+    the fully-fused path skipping gamma also skips materializing it).
+    method="pallas" runs the fused lane-packed kernels
+    (messages/pallas_fb.py) with packed emission stats; "pallas_fused" runs
+    the fully-fused kernels (likelihood matmul and emission stats
+    in-kernel). "auto" (default) resolves to pallas on TPU and scan
     elsewhere; other methods batch via messages.e_step_batched (vmapped,
     each scan step a (B, K) @ (K, K) MXU matmul).
     """
     method = messages.resolve_method(method, time_len=obs.shape[1])
+    B, T = obs.shape[0], obs.shape[1]
+    K = params.init.shape[0]
 
     if method == "pallas_fused":
         fb, emit_stats = _pallas_fused_estep(
             params, emission, obs, weights, need_gamma=need_gamma
         )
-        B, T = obs.shape[0], obs.shape[1]
-        K = params.init.shape[0]
         if need_gamma:
             fb = fb._replace(gamma=jnp.swapaxes(fb.gamma.reshape(T, B, K), 0, 1))
     elif method == "pallas":
         fb, emit_stats = _pallas_packed_estep(params, emission, obs, weights)
-        B, T = obs.shape[0], obs.shape[1]
-        K = params.init.shape[0]
-        fb = fb._replace(
-            gamma=jnp.swapaxes(fb.gamma.reshape(T, B, K), 0, 1)
-        )
+        if need_gamma:
+            fb = fb._replace(gamma=jnp.swapaxes(fb.gamma.reshape(T, B, K), 0, 1))
     else:
         log_pi, log_A = expected_log_params(params)
         ll = emission.expected_log_likelihood(params.emit, obs)  # (B, T, K)
@@ -84,7 +82,7 @@ def batch_local_step(
         emit=emit_stats,
         log_z=jnp.sum(fb.log_z),
     )
-    return stats, fb.gamma
+    return stats, (fb.gamma if need_gamma else None)
 
 
 def _pallas_packed_estep(params, emission, obs, weights=None):
@@ -177,8 +175,18 @@ def _pallas_fused_estep(params, emission, obs, weights=None, need_gamma=True):
 
     Returns (FBResult with gamma packed (T, B/P, P*K) or None, emission
     stats pytree). See messages/pallas_fb.py::pallas_estep_fused.
+
+    Large-vocabulary multinomials fall back to the packed (split) path:
+    the fused kernels stream dense one-hot features through BOTH kernels,
+    which beats the gathered (T, B, K) likelihoods only while V stays
+    comparable to K (models/hmm.py::ONE_HOT_MAX_V).
     """
+    from ..distributions.emissions import MultinomialDirichlet
     from ..messages.pallas_fb import on_tpu, pallas_estep_fused
+    from ..models.hmm import ONE_HOT_MAX_V
+
+    if emission is MultinomialDirichlet and params.emit.shape[-1] > ONE_HOT_MAX_V:
+        return _pallas_packed_estep(params, emission, obs, weights)
 
     log_pi, log_A = expected_log_params(params)
     if obs.ndim == 3:
@@ -321,15 +329,28 @@ def _packed_emission_stats(
     reshape to the lane-packed 2D form is a free bitcast.
     """
     from ..distributions.emissions import MultinomialDirichlet
-    from ..distributions.niw import GaussianStats, _pair_features
+    from ..distributions.niw import _pair_features
 
     T, R, PK = gamma_packed.shape
     g2 = gamma_packed.reshape(T * R, PK)
 
     if emission is MultinomialDirichlet:
+        from ..models.hmm import ONE_HOT_MAX_V
+
         V = emit_params.shape[-1]
         K = emit_params.shape[0]
         P = PK // K
+        if V > ONE_HOT_MAX_V:
+            # segment-sum: never materialize the (T*B, V) one-hot. Unpack
+            # the lane-packed gamma to per-sequence rows first — at large V
+            # that relayout is small next to the avoided one-hot.
+            g_seq = gamma_packed.reshape(T, R, P, K).reshape(T * R * P, K)
+            if weights_tm is not None:
+                g_seq = g_seq * weights_tm.reshape(T * R * P)[:, None]
+            y2 = obs_tm.reshape(T * R * P)
+            return jnp.swapaxes(
+                jax.ops.segment_sum(g_seq, y2, num_segments=V), 0, 1
+            )
         feats = jax.nn.one_hot(obs_tm, V, dtype=g2.dtype)  # (T, B, V)
         if weights_tm is not None:
             feats = feats * weights_tm[..., None]
@@ -360,6 +381,4 @@ def _packed_emission_stats(
         precision=jax.lax.Precision.DEFAULT,
     )
     S = sum(acc[p * K : (p + 1) * K, p * F : (p + 1) * F] for p in range(P))
-    return GaussianStats(
-        n=S[:, 0], sum_y=S[:, 1 : 1 + D], sum_yyT=S[:, 1 + D :].reshape(K, D, D)
-    )
+    return _unpack_emit_stats(emission, emit_params, S)

@@ -514,14 +514,22 @@ def _choose_packing(B: int, K: int) -> int:
     return max(P, 1)
 
 
-def _choose_tiles(R: int, T: int, PK: int):
+def _choose_tiles(R: int, T: int, PK: int, budget_bytes: int = 2 * 1024 * 1024,
+                  elem_bytes: int | None = None):
     """(row_tile, time_tile): row tile as large as VMEM affords (grid cells
     serialize, so row tiling multiplies sequential depth); time tile a
-    multiple of 8 (sublane rule) just big enough to pipeline DMA."""
+    multiple of 8 (sublane rule) just big enough to pipeline DMA.
+
+    budget_bytes/elem_bytes parametrize the VMEM accounting: the split
+    kernels budget ~2 MB per PK-wide block; the fused kernels pass the
+    TOTAL per-(c, r) resident footprint (alpha + feats + gamma + three
+    scratches) against a ~48 MB whole-cell budget (_choose_tiles_fused)."""
+    if elem_bytes is None:
+        elem_bytes = PK * 4
     # The bwd cell keeps lik + alpha in, gamma out, plus carries and the
     # accumulator resident; with the raised scoped-VMEM budget a ~2 MB
     # block is safe and keeps the grid-cell count low.
-    block_budget = (2 * 1024 * 1024) // (PK * 4)  # elems per (C, tile_r) block
+    block_budget = budget_bytes // elem_bytes  # elems per (C, tile_r) block
 
     def time_tile(tr):
         cap = 8 * (block_budget // tr // 8)
@@ -546,10 +554,59 @@ def _choose_tiles(R: int, T: int, PK: int):
         C = time_tile(tile_r)
     if C == 0:
         # tiny T with no multiple-of-8 divisor: whole time axis in one block
-        while tile_r > 1 and 4 * tile_r * T * PK * 4 > 10 * 1024 * 1024:
+        while tile_r > 1 and 4 * tile_r * T * elem_bytes > 10 * 1024 * 1024:
             tile_r //= 2
         C = T
     return tile_r, C
+
+
+def _choose_tiles_fused(R: int, T: int, PK: int, PF: int):
+    """Tile choice for the fused kernels: the feature block is PF wide and
+    three extra (C, tile_r, PK) scratches stay resident, so budget the
+    whole per-(c, r) footprint instead of one PK-wide block."""
+    return _choose_tiles(
+        R, T, PK,
+        budget_bytes=48 * 1024 * 1024,
+        elem_bytes=(6 * PK + PF) * 4,
+    )
+
+
+def _scale_bookkeeping(s_out, sh_out, K, m, C, nT):
+    """Scale/normalizer algebra shared by both host wrappers.
+
+    From the forward kernel's per-sequence stored scales s_out = h_t and
+    max shifts sh_out (both (P, T, R) transposed-dense), derive:
+      log_c (B, T)  — per-step log scaling constants (sum = log Z):
+                      log c_t = log h_t - log h_{t-1}
+                      + [renorm between t-1, t] log q_{t-1} + shift_t,
+                      renorms between t-1 and t for t = k*m, k >= 1;
+      v (nT, C//m, R) — backward renorm replay factors 1/q per tile;
+      seed (R, P*K)   — beta' seed 1/h_{T-1}, lane-broadcast.
+    All ops are elementwise on arrays ~K-fold smaller than alpha.
+    """
+    P, T, R = s_out.shape
+    B = P * R
+    q = jnp.sum(s_out, axis=0)  # (T, R) full-row sums (renorm divisors)
+    log_s3 = jnp.log(s_out)
+    log_q_rows = jnp.log(q)
+    steps = jnp.arange(T)
+    corr3 = jnp.where((steps % m == 0) & (steps > 0), 1.0, 0.0)[None, :, None]
+    zP = jnp.zeros((P, 1, R), jnp.float32)
+    prev3 = jnp.concatenate([zP, log_s3[:, :-1]], axis=1)
+    prev_q3 = jnp.concatenate(
+        [jnp.zeros((1, 1, R), jnp.float32), log_q_rows[None, :-1]], axis=1
+    )
+    log_c3 = log_s3 - prev3 + corr3 * prev_q3 + sh_out  # (P, T, R)
+    # one 4*T*B-byte relayout to the user-facing (B, T): b = r*P + p
+    log_c = jnp.transpose(log_c3, (2, 0, 1)).reshape(B, T)
+
+    # v[k] = 1/q at step k*m - 1 (the sum the forward divided by entering
+    # step k*m; unused for t = 0). Leading dim grid-indexed so the block's
+    # trailing dims can equal the array dims (Mosaic tiling for C//m < 8).
+    q_prev = jnp.concatenate([jnp.ones((1, R), jnp.float32), q[:-1]], axis=0)
+    v = (1.0 / q_prev[::m]).reshape(nT, C // m, R)
+    seed = jnp.repeat(1.0 / jnp.swapaxes(s_out[:, T - 1, :], 0, 1), K, axis=-1)
+    return log_c, v, seed
 
 
 @functools.partial(
@@ -605,7 +662,7 @@ def pallas_estep_fused(
 
     feats_p = feats.reshape(T, R, PF)
 
-    tile_r, C = tiles if tiles is not None else _choose_tiles(R, T, PK)
+    tile_r, C = tiles if tiles is not None else _choose_tiles_fused(R, T, PK, PF)
     if R % tile_r or T % C:
         raise ValueError(f"tiles {(tile_r, C)} must divide (R={R}, T={T})")
     if tiles is not None and C > 32:
@@ -652,23 +709,7 @@ def pallas_estep_fused(
         interpret=interpret,
     )(pi_blk, A_blk, W_blk, feats_p)
 
-    # scale bookkeeping: identical to the split path
-    q = jnp.sum(s_out, axis=0)  # (T, R)
-    log_s3 = jnp.log(s_out)
-    log_q_rows = jnp.log(q)
-    steps = jnp.arange(T)
-    corr3 = jnp.where((steps % m == 0) & (steps > 0), 1.0, 0.0)[None, :, None]
-    zP = jnp.zeros((P, 1, R), jnp.float32)
-    prev3 = jnp.concatenate([zP, log_s3[:, :-1]], axis=1)
-    prev_q3 = jnp.concatenate(
-        [jnp.zeros((1, 1, R), jnp.float32), log_q_rows[None, :-1]], axis=1
-    )
-    log_c3 = log_s3 - prev3 + corr3 * prev_q3 + sh_out
-    log_c = jnp.transpose(log_c3, (2, 0, 1)).reshape(B, T)
-
-    q_prev = jnp.concatenate([jnp.ones((1, R), jnp.float32), q[:-1]], axis=0)
-    v = (1.0 / q_prev[::m]).reshape(nT, C // m, R)
-    seed = jnp.repeat(1.0 / jnp.swapaxes(s_out[:, T - 1, :], 0, 1), K, axis=-1)
+    log_c, v, seed = _scale_bookkeeping(s_out, sh_out, K, m, C, nT)
 
     gated = w_tm is not None
     bwd_inputs = [A_blk, W_blk, feats_p, alpha_t, v, seed]
@@ -884,35 +925,11 @@ def pallas_forward_backward_batched(
         interpret=interpret,
     )(pi_blk, A_blk, lik)
 
-    # --- scale bookkeeping, all elementwise/XLA between the kernels ---
-    # Per-sequence stored scales h_t = s_out and the in-kernel max shifts
-    # sh_out, both emitted TRANSPOSED-dense (P, T, R) — the wide row axis
-    # is minor, so nothing below touches a lane-padded narrow array. All
-    # ops here are elementwise on arrays ~K-fold smaller than alpha.
-    q = jnp.sum(s_out, axis=0)  # (T, R) full-row sums (renorm divisors)
-    log_s3 = jnp.log(s_out)  # (P, T, R)
-    # log c_t = log h_t - log h_{t-1} + [renorm between t-1,t] log q_{t-1}
-    # + shift_t; renorms happen between t-1 and t for t = k*m, k >= 1.
-    log_q_rows = jnp.log(q)  # (T, R)
-    steps = jnp.arange(T)
-    corr3 = jnp.where((steps % m == 0) & (steps > 0), 1.0, 0.0)[None, :, None]
-    zP = jnp.zeros((P, 1, R), jnp.float32)
-    prev3 = jnp.concatenate([zP, log_s3[:, :-1]], axis=1)
-    prev_q3 = jnp.concatenate(
-        [jnp.zeros((1, 1, R), jnp.float32), log_q_rows[None, :-1]], axis=1
-    )
-    log_c3 = log_s3 - prev3 + corr3 * prev_q3 + sh_out  # (P, T, R)
-    # one 4*T*B-byte relayout to the user-facing (B, T): b = r*P + p
-    log_c = jnp.transpose(log_c3, (2, 0, 1)).reshape(B, T)
-
-    # Backward inputs: renorm replay factors per tile (v[k] = 1/q at step
-    # k*m - 1, i.e. the sum the forward divided by entering step k*m; for
-    # t = 0 the value is unused) and the beta' seed 1/h_{T-1}.
-    q_prev = jnp.concatenate([jnp.ones((1, R), jnp.float32), q[:-1]], axis=0)
-    # (nT, C//m, R): leading dim grid-indexed so the block's trailing dims
-    # can equal the array dims (Mosaic tiling constraint for C//m < 8)
-    v = (1.0 / q_prev[::m]).reshape(nT, C // m, R)
-    seed = jnp.repeat(1.0 / jnp.swapaxes(s_out[:, T - 1, :], 0, 1), K, axis=-1)
+    # Scale bookkeeping, all elementwise/XLA between the kernels: the
+    # per-sequence stored scales h_t = s_out and the in-kernel max shifts
+    # sh_out are emitted TRANSPOSED-dense (P, T, R) — the wide row axis is
+    # minor, so nothing in _scale_bookkeeping touches a lane-padded array.
+    log_c, v, seed = _scale_bookkeeping(s_out, sh_out, K, m, C, nT)
 
     gated = w_tm is not None
     bwd_inputs = [A_blk, lik, alpha_t, v, seed]

@@ -94,20 +94,27 @@ def forward_with_logc(
     return alpha, jnp.sum(log_c), log_c
 
 
-def backward(log_A: jax.Array, log_lik: jax.Array) -> jax.Array:
-    """Normalized backward messages beta (T, K) (each row rescaled to sum K)."""
+def backward(
+    log_A: jax.Array, log_lik: jax.Array, beta_last: jax.Array | None = None
+) -> jax.Array:
+    """Normalized backward messages beta (T, K) (each row rescaled to sum K).
+
+    beta_last: optional seed at t = T-1 (the time-sharded tiles pass their
+    boundary message here); defaults to the uniform right-edge condition.
+    """
     A_tilde = jnp.exp(log_A)
     lik, _ = _normalize_loglik(log_lik)
-    # derive from lik so the carry keeps lik's sharding/vma type under shard_map
-    beta_T = jnp.ones_like(lik[0])
+    if beta_last is None:
+        # derive from lik so the carry keeps lik's sharding/vma type under shard_map
+        beta_last = jnp.ones_like(lik[0])
 
     def step(beta, lik_t1):
         b = A_tilde @ (lik_t1 * beta)
         b = b / jnp.sum(b)
         return b, b
 
-    _, betas = lax.scan(step, beta_T, lik[1:], reverse=True)
-    return jnp.concatenate([betas, beta_T[None]], axis=0)
+    _, betas = lax.scan(step, beta_last, lik[1:], reverse=True)
+    return jnp.concatenate([betas, beta_last[None]], axis=0)
 
 
 def forward_backward(

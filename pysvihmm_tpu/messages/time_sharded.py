@@ -48,7 +48,7 @@ from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
-from .scan_fb import FBResult, _normalize_loglik, forward_with_logc
+from .scan_fb import FBResult, _normalize_loglik, backward, forward_with_logc
 
 
 def _tree_product(S: jax.Array) -> jax.Array:
@@ -74,18 +74,6 @@ def _tree_product(S: jax.Array) -> jax.Array:
         )
         S = S / jnp.max(S, axis=(1, 2), keepdims=True)
     return S[0]
-
-
-def _backward_seeded(A_tilde, lik, beta_last):
-    """Normalized beta for one tile given beta at the tile's LAST step."""
-
-    def step(beta, lik_t1):
-        b = A_tilde @ (lik_t1 * beta)
-        b = b / jnp.sum(b)
-        return b, b
-
-    _, betas = lax.scan(step, beta_last, lik[1:], reverse=True)
-    return jnp.concatenate([betas, beta_last[None]], axis=0)
 
 
 def _chain_tile_fb(log_pi, log_A, ll, w, idx, w_prev, D, axis):
@@ -131,7 +119,7 @@ def _chain_tile_fb(log_pi, log_A, ll, w, idx, w_prev, D, axis):
         idx == 0, log_pi, jnp.log(jnp.maximum(a_in @ A_tilde, 1e-38))
     )
     alpha, _, log_c = forward_with_logc(log_pi_loc, log_A, ll)
-    beta = _backward_seeded(A_tilde, lik, jnp.take(b_last, idx, axis=0))
+    beta = backward(log_A, ll, beta_last=jnp.take(b_last, idx, axis=0))
 
     g = alpha * beta
     gamma = g / jnp.sum(g, axis=-1, keepdims=True)
@@ -165,9 +153,9 @@ def time_sharded_forward_backward(
     """Exact FBResult for one (T, K) chain, T sharded over ``mesh[axis]``.
 
     Same contract as ``scan_fb.forward_backward``; gamma and log_c come
-    back sharded over time, scalars/stats replicated. T must divide the
-    axis size. Device-count-invariant up to f32 roundoff (tested against
-    the single-device scan on a virtual 8-device mesh).
+    back sharded over time, scalars/stats replicated. The time-axis size
+    must divide T. Device-count-invariant up to f32 roundoff (tested
+    against the single-device scan on a virtual 8-device mesh).
     """
     T, K = log_lik.shape
     D = mesh.shape[axis]

@@ -119,17 +119,29 @@ def global_kl(params: HMMParams, prior: HMMParams, emission) -> jax.Array:
     )
 
 
+# Above this vocabulary size, one-hot feature matmuls for multinomial stats
+# materialize an (N, V) array bigger than the gathered likelihoods are worth;
+# switch to a segment-sum (scatter-add) that never builds the one-hot.
+ONE_HOT_MAX_V = 256
+
+
 def emission_flat_stats(emission, emit_params, gamma: jax.Array, obs: jax.Array):
     """Emission sufficient stats with all leading/time axes flattened.
 
     gamma (..., K) weights aligned with obs (..., D) or int obs (...,).
-    Contracts everything but K (and trailing obs dims) in one matmul.
+    Contracts everything but K (and trailing obs dims) in one matmul
+    (large-vocabulary multinomials use a segment-sum instead — the dense
+    (N, V) one-hot would dwarf every other array in the E-step).
     """
     K = gamma.shape[-1]
     g2 = gamma.reshape(-1, K)
     if emission is MultinomialDirichlet:
         y2 = obs.reshape(-1)
         V = emit_params.shape[-1]
+        if V > ONE_HOT_MAX_V:
+            return jnp.swapaxes(
+                jax.ops.segment_sum(g2, y2, num_segments=V), 0, 1
+            )  # (K, V)
         return MultinomialDirichlet.make_suff_stats(V)(g2, y2)
     y2 = obs.reshape(-1, obs.shape[-1])
     return emission.suff_stats(g2, y2)

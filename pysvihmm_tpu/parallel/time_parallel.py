@@ -30,13 +30,9 @@ from ..utils.precision import f32_matmuls
 
 def make_time_mesh(num_devices: int | None = None, devices=None, axis: str = "time") -> Mesh:
     """1-D time mesh over the given (or all) devices."""
-    import numpy as np
+    from .data_parallel import make_mesh
 
-    if devices is None:
-        devices = jax.devices()
-    if num_devices is not None:
-        devices = devices[:num_devices]
-    return Mesh(np.array(devices), (axis,))
+    return make_mesh(num_devices, devices=devices, axis=axis)
 
 
 def shard_chain(obs: jax.Array, mesh: Mesh, axis: str = "time") -> jax.Array:

@@ -257,6 +257,75 @@ class TestPallasFusedEstep:
         for a, b in zip(jax.tree.leaves(out_f), jax.tree.leaves(out_s)):
             np.testing.assert_allclose(np.array(a), np.array(b), rtol=2e-4, atol=1e-5)
 
+    def test_need_gamma_false_multi_tile_init_stats(self):
+        """The gamma0 carry (revisited output block written at the LAST
+        reversed time tile) must be exercised with nT > 1, with and
+        without kept-masks — init_stats corruption here would ship
+        silently at production shapes (T=1000 => ~31 tiles)."""
+        from pysvihmm_tpu.distributions import niw
+        from pysvihmm_tpu.messages.pallas_fb import pallas_estep_fused
+        from pysvihmm_tpu.models.hmm import expected_log_params
+
+        params, obs = self._gauss_problem(4, 64, 4, 2, seed=11)
+        log_pi, log_A = expected_log_params(params)
+        obs_tm = jnp.swapaxes(obs, 0, 1)
+        feats = niw.ell_features(obs_tm)
+        W = niw.ell_feature_matrix(params.emit)
+        w = (rng.random((4, 64)) > 0.3).astype(np.float32)
+        w[0, 0] = 0.0
+        w[1, 0] = 1.0
+        w_tm = jnp.swapaxes(jnp.array(w), 0, 1)
+        for tiles in [(1, 8), (1, 16)]:  # B=4,K=4 packs to R=1; nT = 8 and 4
+            fb0, S0 = pallas_estep_fused(
+                log_pi, log_A, W, feats, interpret=True, tiles=tiles,
+                emit_gamma=False,
+            )
+            fb1, S1 = pallas_estep_fused(
+                log_pi, log_A, W, feats, interpret=True, tiles=tiles,
+                emit_gamma=True,
+            )
+            assert fb0.gamma is None
+            np.testing.assert_allclose(
+                np.array(fb0.init_stats),
+                np.array(fb1.gamma[0].reshape(4, 4)),
+                rtol=1e-6, atol=1e-7,
+            )
+            np.testing.assert_allclose(np.array(S0), np.array(S1), rtol=1e-6)
+            # gated: init_stats = w_0 * gamma_0
+            fbw, _ = pallas_estep_fused(
+                log_pi, log_A, W, feats, weights=w_tm, interpret=True,
+                tiles=tiles, emit_gamma=False,
+            )
+            np.testing.assert_allclose(
+                np.array(fbw.init_stats),
+                np.array(fb1.gamma[0].reshape(4, 4)) * w[:, 0][:, None],
+                rtol=1e-6, atol=1e-7,
+            )
+
+    def test_large_vocab_multinomial_segment_sum(self):
+        """V > ONE_HOT_MAX_V: fused falls back to packed, whose stats use a
+        segment-sum (no dense one-hot); results still match scan."""
+        from pysvihmm_tpu.data.synthetic import gen_multinomial_dataset
+        from pysvihmm_tpu.distributions import MultinomialDirichlet
+        from pysvihmm_tpu.engines.base import batch_local_step
+        from pysvihmm_tpu.models.hmm import ONE_HOT_MAX_V, init_params, make_prior
+
+        K, V, B, T = 4, ONE_HOT_MAX_V + 44, 4, 32
+        obs, _, _ = gen_multinomial_dataset(jax.random.PRNGKey(6), K, V, B, T)
+        prior = make_prior(K, MultinomialDirichlet, num_symbols=V)
+        params = init_params(jax.random.PRNGKey(7), prior, MultinomialDirichlet, obs)
+        w = jnp.array((rng.random((B, T)) > 0.3).astype(np.float32))
+        for method in ("pallas_fused", "pallas"):
+            sf, _ = batch_local_step(
+                params, MultinomialDirichlet, obs, method, weights=w,
+                need_gamma=False,
+            )
+            ss, _ = batch_local_step(
+                params, MultinomialDirichlet, obs, "scan", weights=w
+            )
+            np.testing.assert_allclose(np.array(sf.emit), np.array(ss.emit), atol=2e-3)
+            np.testing.assert_allclose(np.array(sf.init), np.array(ss.init), atol=1e-5)
+
     def test_tiles_override(self):
         from pysvihmm_tpu.distributions import GaussianNIW
         from pysvihmm_tpu.engines.base import _pallas_fused_estep
