@@ -257,6 +257,27 @@ class TestPallasFusedEstep:
         for a, b in zip(jax.tree.leaves(out_f), jax.tree.leaves(out_s)):
             np.testing.assert_allclose(np.array(a), np.array(b), rtol=2e-4, atol=1e-5)
 
+    def test_unpacked_K128_and_odd_D(self):
+        """P=1 (no lane packing, K=128) and an odd feature width (D=3 ->
+        F=13) exercise the fused kernels' non-padded/padded lane layouts."""
+        from pysvihmm_tpu.distributions import GaussianNIW
+        from pysvihmm_tpu.engines.base import batch_local_step
+
+        for B, T, K, D in [(2, 16, 128, 2), (4, 24, 4, 3)]:
+            params, obs = self._gauss_problem(B, T, K, D, seed=13 + K)
+            sf, _ = batch_local_step(
+                params, GaussianNIW, obs, "pallas_fused", need_gamma=False
+            )
+            ss, _ = batch_local_step(params, GaussianNIW, obs, "scan")
+            np.testing.assert_allclose(
+                np.array(sf.trans), np.array(ss.trans), atol=2e-3
+            )
+            np.testing.assert_allclose(float(sf.log_z), float(ss.log_z), rtol=3e-6)
+            for a, b in zip(jax.tree.leaves(sf.emit), jax.tree.leaves(ss.emit)):
+                np.testing.assert_allclose(
+                    np.array(a), np.array(b), rtol=4e-3, atol=4e-3
+                )
+
     def test_need_gamma_false_multi_tile_init_stats(self):
         """The gamma0 carry (revisited output block written at the LAST
         reversed time tile) must be exercised with nT > 1, with and
