@@ -623,7 +623,7 @@ def pallas_estep_fused(
     tiles: tuple[int, int] | None = None,
     emit_gamma: bool = False,
     precision: lax.Precision = lax.Precision.HIGHEST,
-    ll_precision: lax.Precision = lax.Precision.HIGH,
+    ll_precision: lax.Precision = lax.Precision.HIGHEST,
     stats_precision: lax.Precision = lax.Precision.DEFAULT,
 ) -> tuple[FBResult, jax.Array]:
     """Fully-fused batched E-step: likelihoods + FB + ALL stats in-kernel.
@@ -641,7 +641,10 @@ def pallas_estep_fused(
     is the packed (T, B/P, P*K) array when emit_gamma=True, else None.
     Per-step log_c / log_z / init_stats / trans_stats follow the standard
     contract. Precision tiers per utils/precision.py: chains HIGHEST,
-    likelihood matmul HIGH (3-pass), bulk stat sums DEFAULT (bf16).
+    bulk stat sums DEFAULT (bf16). The likelihood matmul runs HIGHEST
+    in-kernel (Mosaic supports only DEFAULT/HIGHEST dot precisions; at
+    this matmul's size the extra passes are ~0.1 ms — cheaper than the
+    policy's minimum anyway).
     """
     T, B, F = feats.shape
     K = log_A.shape[0]
