@@ -1,0 +1,76 @@
+"""AOT TPU-lowering regression tests.
+
+`jit(f).trace(args).lower(lowering_platforms=("tpu",))` serializes the
+pallas kernels to Mosaic MLIR on the CPU host, without a TPU attached —
+it catches structural kernel breakage (unsupported dot precisions,
+malformed block specs, bad shapes) that interpret-mode tests cannot see
+(interpret mode skips Mosaic entirely). Caught for real: Mosaic rejects
+lax.Precision.HIGH in-kernel, which interpret-mode parity tests happily
+executed. Server-side Mosaic compilation can still fail on VMEM limits,
+but every shape/type/op-legality error surfaces here.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pysvihmm_tpu.messages.pallas_fb import (
+    pallas_estep_fused,
+    pallas_forward_backward_batched,
+)
+
+rng = np.random.default_rng(3)
+
+K, D, T, B = 64, 8, 64, 32  # P=2 packing, small enough to lower fast
+F = 1 + D + D * D
+LOG_PI = jnp.array(np.log(rng.dirichlet(np.ones(K))), jnp.float32)
+LOG_A = jnp.array(np.log(rng.dirichlet(np.ones(K), size=K)), jnp.float32)
+FEATS = jax.ShapeDtypeStruct((T, B, F), jnp.float32)
+WMAT = jax.ShapeDtypeStruct((F, K), jnp.float32)
+LL = jax.ShapeDtypeStruct((T, B, K), jnp.float32)
+MASK = jax.ShapeDtypeStruct((T, B), jnp.float32)
+
+
+def _lowers(f, *args):
+    text = jax.jit(f).trace(*args).lower(lowering_platforms=("tpu",)).as_text()
+    assert "tpu_custom_call" in text  # the kernels actually lowered via Mosaic
+    return text
+
+
+class TestTPULowering:
+    def test_fused_no_gamma(self):
+        _lowers(
+            lambda p, A, W, f: pallas_estep_fused(p, A, W, f, emit_gamma=False),
+            LOG_PI, LOG_A, WMAT, FEATS,
+        )
+
+    def test_fused_with_gamma(self):
+        _lowers(
+            lambda p, A, W, f: pallas_estep_fused(p, A, W, f, emit_gamma=True),
+            LOG_PI, LOG_A, WMAT, FEATS,
+        )
+
+    def test_fused_gated(self):
+        _lowers(
+            lambda p, A, W, f, w: pallas_estep_fused(
+                p, A, W, f, weights=w, emit_gamma=True
+            ),
+            LOG_PI, LOG_A, WMAT, FEATS, MASK,
+        )
+
+    def test_split_time_major_packed(self):
+        _lowers(
+            lambda p, A, l: pallas_forward_backward_batched(
+                p, A, l, time_major=True, packed_gamma=True
+            ),
+            LOG_PI, LOG_A, LL,
+        )
+
+    def test_split_gated(self):
+        _lowers(
+            lambda p, A, l, w: pallas_forward_backward_batched(
+                p, A, l, weights=w, time_major=True, packed_gamma=True
+            ),
+            LOG_PI, LOG_A, LL, MASK,
+        )
