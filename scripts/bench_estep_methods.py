@@ -1,0 +1,28 @@
+"""Compare full-E-step throughput across methods on the real chip.
+
+Usage: python scripts/bench_estep_methods.py [batch] [method ...]
+Defaults: batch=1024, methods = pallas pallas_fused scan.
+Prints one JSON line per method (same honest protocol as bench.py).
+"""
+
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import bench
+
+
+def main():
+    args = sys.argv[1:]
+    batch = int(args[0]) if args else 1024
+    methods = args[1:] or ["pallas", "pallas_fused", "scan"]
+    for m in methods:
+        sps, dt = bench.bench_jax(batch=batch, method=m)
+        print(json.dumps({"method": m, "seq_per_s": round(sps, 1),
+                          "ms_per_estep": round(dt * 1e3, 3)}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
