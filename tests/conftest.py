@@ -26,6 +26,21 @@ jax.config.update("jax_default_device", _cpus[0])
 import pytest  # noqa: E402
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Release compiled executables after each test module.
+
+    The suite accumulates ~300 compiled XLA:CPU programs; past a threshold
+    the CPU client's JIT aborts the process mid-compile (observed
+    deterministically in test_svi after the full preceding suite — a
+    segfault/abort inside backend_compile_and_load, not a Python error).
+    Dropping executables between modules keeps the resident JIT footprint
+    bounded; per-module recompiles cost far less than the crash.
+    """
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture
 def cpu_devices():
     return _cpus
