@@ -278,6 +278,24 @@ class TestPallasFusedEstep:
                     np.array(a), np.array(b), rtol=4e-3, atol=4e-3
                 )
 
+    def test_large_K_beyond_lane_width(self):
+        """K=256 > the 128-lane width: PK spans multiple lane tiles (P=1).
+        Both kernel paths must agree with scan (and AOT-lower for TPU —
+        tests/test_tpu_lowering.py)."""
+        from pysvihmm_tpu.distributions import GaussianNIW
+        from pysvihmm_tpu.engines.base import batch_local_step
+
+        params, obs = self._gauss_problem(2, 16, 256, 2, seed=17)
+        for method in ("pallas_fused", "pallas"):
+            sf, _ = batch_local_step(
+                params, GaussianNIW, obs, method, need_gamma=False
+            )
+            ss, _ = batch_local_step(params, GaussianNIW, obs, "scan")
+            np.testing.assert_allclose(
+                np.array(sf.trans), np.array(ss.trans), atol=2e-3
+            )
+            np.testing.assert_allclose(float(sf.log_z), float(ss.log_z), rtol=3e-6)
+
     def test_need_gamma_false_multi_tile_init_stats(self):
         """The gamma0 carry (revisited output block written at the LAST
         reversed time tile) must be exercised with nT > 1, with and
