@@ -31,6 +31,7 @@ from .scan_fb import (
 )
 from .assoc_fb import forward_backward_assoc, log_normalizer_assoc
 from .blocked import forward_backward_blocked
+from .state_sharded import state_sharded_forward_backward
 from .time_sharded import (
     time_sharded_forward_backward,
     time_sharded_forward_backward_batched,
@@ -153,6 +154,7 @@ __all__ = [
     "forward_backward",
     "forward_backward_assoc",
     "forward_backward_blocked",
+    "state_sharded_forward_backward",
     "time_sharded_forward_backward",
     "time_sharded_forward_backward_batched",
     "forward_filter_log",

@@ -146,6 +146,43 @@ class TestTimeSharded2D:
         np.testing.assert_allclose(np.array(b.log_c), np.array(a.log_c), atol=1e-10)
 
 
+class TestStateShardedFB:
+    """State-axis (tensor-parallel) sharding for very large K."""
+
+    # NOTE: (1, 9, 4) deliberately avoided — jax/jaxlib 0.9.0's XLA:CPU
+    # miscompiles a jitted float64 reverse-scan at exactly T=9, K=4 (the
+    # 8-step x 4-wide f64 unroll edge; eager is exact, jit returns garbage).
+    # Upstream bug, reproduced minimally; production paths are f32/TPU.
+    @pytest.mark.parametrize("n_dev,T,K", [(4, 30, 8), (8, 20, 16), (2, 11, 6), (1, 12, 4)])
+    def test_matches_scan(self, n_dev, T, K, enable_x64):
+        from pysvihmm_tpu.messages.state_sharded import state_sharded_forward_backward
+
+        mesh = make_mesh(n_dev, axis="state")
+        log_pi, log_A, ll = problem(T, K)
+        w = jnp.array((rng.uniform(size=T) > 0.3).astype(np.float64))
+        a = messages.forward_backward(log_pi, log_A, ll, w)
+        b = jax.jit(
+            lambda p, A, l, wi: state_sharded_forward_backward(p, A, l, mesh, weights=wi)
+        )(log_pi, log_A, ll, w)
+        np.testing.assert_allclose(np.array(b.gamma), np.array(a.gamma), atol=1e-12)
+        np.testing.assert_allclose(float(b.log_z), float(a.log_z), rtol=1e-13)
+        np.testing.assert_allclose(
+            np.array(b.trans_stats), np.array(a.trans_stats), atol=1e-12
+        )
+        np.testing.assert_allclose(
+            np.array(b.init_stats), np.array(a.init_stats), atol=1e-13
+        )
+        np.testing.assert_allclose(np.array(b.log_c), np.array(a.log_c), atol=1e-12)
+
+    def test_indivisible_raises(self):
+        from pysvihmm_tpu.messages.state_sharded import state_sharded_forward_backward
+
+        mesh = make_mesh(4, axis="state")
+        log_pi, log_A, ll = problem(10, 6)  # K=6 not divisible by 4
+        with pytest.raises(ValueError):
+            state_sharded_forward_backward(log_pi, log_A, ll, mesh)
+
+
 class TestTimeShardedEngine:
     def test_vb_trajectory_matches_single_device(self):
         """fit_long_chain over a 4-device time mesh reproduces batch VB on
