@@ -10,6 +10,7 @@ from .data_parallel import (
     sharded_local_step,
 )
 from .multihost import global_data_mesh, host_local_batch_to_global, initialize_distributed
+from .state_parallel import fit_large_k, make_ss_vb_step, shard_params_by_state
 from .time_parallel import (
     fit_long_chain,
     make_time_mesh,

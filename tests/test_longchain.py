@@ -183,6 +183,38 @@ class TestStateShardedFB:
             state_sharded_forward_backward(log_pi, log_A, ll, mesh)
 
 
+class TestStateParallelEngine:
+    def test_vb_trajectory_matches_single_device(self):
+        """fit_large_k over a 4-device state mesh reproduces batch VB on the
+        same chain: every state-indexed array K-sharded, zero hand-written
+        communication outside the message kernel."""
+        from pysvihmm_tpu.data.synthetic import gen_gaussian_dataset
+        from pysvihmm_tpu.distributions import GaussianNIW
+        from pysvihmm_tpu.engines import batch_vb
+        from pysvihmm_tpu.models.hmm import init_params, make_prior
+        from pysvihmm_tpu.parallel import fit_large_k
+
+        obs, _, _ = gen_gaussian_dataset(
+            jax.random.PRNGKey(3), K=16, D=2, num_seqs=1, T=240, mean_scale=4.0
+        )
+        prior = make_prior(16, GaussianNIW, obs_dim=2)
+        p0 = init_params(jax.random.PRNGKey(1), prior, GaussianNIW, obs)
+        ref_p, ref_elbos = batch_vb.fit(
+            p0, prior, obs, GaussianNIW, num_iters=12, method="scan"
+        )
+        mesh = make_mesh(4, axis="state")
+        ss_p, ss_elbos = fit_large_k(p0, prior, obs[0], GaussianNIW, mesh, num_iters=12)
+        np.testing.assert_allclose(
+            np.array(ss_elbos), np.array(ref_elbos), rtol=2e-5
+        )
+        np.testing.assert_allclose(
+            np.array(ss_p.trans), np.array(ref_p.trans), rtol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.array(ss_p.emit.mean), np.array(ref_p.emit.mean), atol=1e-3
+        )
+
+
 class TestTimeShardedEngine:
     def test_vb_trajectory_matches_single_device(self):
         """fit_long_chain over a 4-device time mesh reproduces batch VB on
