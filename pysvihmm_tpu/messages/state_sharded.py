@@ -49,9 +49,10 @@ def state_sharded_forward_backward(
 ) -> FBResult:
     """Exact FBResult for one (T, K) chain with K sharded over ``mesh[axis]``.
 
-    gamma comes back state-sharded (T, K); trans_stats row-sharded then
-    restored to the replicated (K, K) contract; log_z/log_c/init_stats
-    replicated. The state-axis size must divide K.
+    gamma comes back state-sharded (T, K); trans_stats is a row-sharded
+    (K, K) global array (NOT replicated — for very large K that is the
+    point); init_stats state-sharded (K,); log_z/log_c replicated. The
+    state-axis size must divide K.
     """
     T, K = log_lik.shape
     D = mesh.shape[axis]
@@ -85,7 +86,6 @@ def state_sharded_forward_backward(
         pi_d = jnp.exp(log_pi_d)  # (Kd,)
         A_d = jnp.exp(A_rows)  # (Kd, K) rows owned by this device
         At_d = jnp.exp(At_rows)  # (Kd, K) rows of A~^T  (= A~ columns)
-        idx = lax.axis_index(axis)
 
         # ---- forward: one reduce-scatter per step ----
         a0_raw = pi_d * lik_d[0]

@@ -69,18 +69,9 @@ def fit_large_k(
     axis: str = "state",
 ) -> tuple[HMMParams, jax.Array]:
     """Batch VB on one chain with the state axis sharded, one compiled scan."""
+    from .time_parallel import run_vb_scan
+
     params = shard_params_by_state(params, mesh, axis)
     prior = shard_params_by_state(prior, mesh, axis)
     step = make_ss_vb_step(emission, mesh, axis)
-
-    @jax.jit
-    def run(p, pr, o):
-        def body(carry, _):
-            p, _ = carry
-            p2, elbo = step(p, pr, o)
-            return (p2, elbo), elbo
-
-        (pf, _), elbos = jax.lax.scan(body, (p, jnp.zeros(())), None, length=num_iters)
-        return pf, elbos
-
-    return run(params, prior, obs)
+    return run_vb_scan(step, params, prior, obs, num_iters)

@@ -82,6 +82,25 @@ def make_ts_vb_step(emission, mesh: Mesh, axis: str = "time"):
     return step
 
 
+def run_vb_scan(step, params, prior, obs, num_iters: int):
+    """Drive a jitted VB step for num_iters iterations as ONE compiled scan.
+
+    Shared by the sharded single-chain engines (time_parallel /
+    state_parallel). The carry is the params pytree alone — carrying the
+    elbo too would seed the scan with a dtype-fragile dummy scalar.
+    """
+
+    @jax.jit
+    def run(p, pr, o):
+        def body(p, _):
+            p2, elbo = step(p, pr, o)
+            return p2, elbo
+
+        return jax.lax.scan(body, p, None, length=num_iters)
+
+    return run(params, prior, obs)
+
+
 def fit_long_chain(
     params: HMMParams,
     prior: HMMParams,
@@ -98,15 +117,4 @@ def fit_long_chain(
     """
     obs = shard_chain(obs, mesh, axis)
     step = make_ts_vb_step(emission, mesh, axis)
-
-    @jax.jit
-    def run(p, pr, o):
-        def body(carry, _):
-            p, _ = carry
-            p2, elbo = step(p, pr, o)
-            return (p2, elbo), elbo
-
-        (pf, _), elbos = jax.lax.scan(body, (p, jnp.zeros(())), None, length=num_iters)
-        return pf, elbos
-
-    return run(params, prior, obs)
+    return run_vb_scan(step, params, prior, obs, num_iters)
