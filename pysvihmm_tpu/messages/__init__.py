@@ -78,16 +78,21 @@ def resolve_method(method: str, time_len: int | None = None) -> str:
     :func:`_pallas_time_tileable`) — engines that can pad their windows to a
     multiple of 8 do so *before* this check (svi/metaobs ``make_step``).
     Resolution happens at trace time (backend choice is static under jit);
-    an explicit method string always passes through untouched.
+    an explicit method string always passes through untouched. The
+    PYSVIHMM_ESTEP_METHOD environment variable overrides what "auto"
+    resolves to on TPU (e.g. =pallas_fused to flip the production path
+    without code edits; the tileability fallback still applies).
     """
     if method == "auto":
+        import os
+
         from .pallas_fb import on_tpu
 
         if not on_tpu():
             return "scan"
         if time_len is not None and not _pallas_time_tileable(time_len):
             return "scan"
-        return "pallas"
+        return os.environ.get("PYSVIHMM_ESTEP_METHOD", "pallas")
     return method
 
 

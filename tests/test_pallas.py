@@ -121,6 +121,10 @@ class TestPallasFB:
         assert resolve_method("auto", time_len=31) == "pallas"  # short axis
         # explicit pallas is honored even for awkward lengths
         assert resolve_method("pallas", time_len=71) == "pallas"
+        # env override flips what "auto" resolves to on TPU
+        monkeypatch.setenv("PYSVIHMM_ESTEP_METHOD", "pallas_fused")
+        assert resolve_method("auto") == "pallas_fused"
+        assert resolve_method("auto", time_len=71) == "scan"  # fallback wins
 
     def test_engine_default_method_end_to_end(self):
         """batch_local_step with its default method agrees with explicit scan."""
