@@ -20,9 +20,16 @@ TPU design notes:
     steps inside a single `lax.scan` without host round-trips.
   * Scaling factors (the estimator's unbiasedness constants): transitions
     (T-1)/(B(L-1)), emissions T/(BL), initial state (T-L+1)/B gated on a
-    window actually starting at t=0 (each position's inclusion probability
-    under uniform starts; edge positions are covered slightly less often —
-    O(L/T) bias, matching the reference's sampler behavior [MED]).
+    window actually starting at t=0. Convention note (audited): each
+    window contributes EXACTLY L-1 units of pairwise mass (every xi_t
+    sums to 1), so (T-1)/(B(L-1)) makes the TOTAL transition pseudo-count
+    mass exactly unbiased (E = T-1); per-position it runs (T-1)/(T-L+1)
+    hot in the interior and cool at the chain edges (positions covered by
+    fewer uniform starts) — an O(L/T) distortion matching the paper's
+    convention and the reference's sampler [MED]. The alternative
+    (T-L+1)/(B(L-1)) would be interior-position-unbiased but undercount
+    total mass; do not "fix" one into the other without moving the
+    tests/test_svi.py unbiasedness assertions deliberately.
 
 Multi-sequence datasets (minibatches over sequences — BASELINE config 5)
 are handled by :func:`make_minibatch_step`.
