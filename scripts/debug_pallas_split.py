@@ -6,6 +6,9 @@ Usage: python scripts/debug_pallas_split.py [B] [tile_b] [C]
 import functools
 import sys
 import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import numpy as np
 
