@@ -124,7 +124,18 @@ class _HMMBase:
 class VBHMM(_HMMBase):
     """Batch coordinate-ascent VB (reference ``hmmbatchcd.VBHMM``)."""
 
-    def infer(self, maxit: int = 100, tol: float = 1e-8, method: str = "auto"):
+    def infer(self, maxit: int = 100, tol: float = 1e-8, method: str = "auto",
+              restarts: int = 1, seed: int = 0):
+        # restarts > 1: vmapped best-of-N-seeds fit (device-resident, runs
+        # the full maxit — the tol stop does not compose with a vmapped scan)
+        if restarts > 1:
+            params, elbos, best = batch_vb.fit_restarts(
+                jax.random.PRNGKey(seed), self.prior, self.obs, self.emission,
+                num_iters=maxit, num_restarts=restarts, method=method,
+            )
+            self.elbo_history = [float(x) for x in np.asarray(elbos[best])]
+            self.params = params
+            return self
         # host-side loop so the tolerance stop applies to the PARAMS as well
         # as the history (reference semantics: hmmbatchcd stops iterating at
         # tol); each step is one jitted coordinate-ascent update

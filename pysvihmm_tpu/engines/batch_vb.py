@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from ..distributions import dirichlet
-from ..models.hmm import HMMParams
+from ..models.hmm import HMMParams, init_params
 from ..utils.precision import f32_matmuls
 from .base import batch_local_step, elbo_from_stats
 
@@ -72,3 +72,34 @@ def fit(
 
     final, elbos = jax.lax.scan(body, params, None, length=num_iters)
     return final, elbos
+
+
+def fit_restarts(
+    key: jax.Array,
+    prior: HMMParams,
+    obs: jax.Array,
+    emission,
+    num_iters: int = 100,
+    num_restarts: int = 8,
+    method: str = "auto",
+) -> tuple[HMMParams, jax.Array, jax.Array]:
+    """Best-of-N-seeds batch VB: all restarts run in parallel under one vmap.
+
+    Coordinate-ascent VB is deterministic given its init, and single-seed
+    runs can land in merged-state local optima on hard data. The reference's
+    workflow re-runs the engine by hand; on TPU the idiomatic answer is to
+    vmap the *entire* fit over a batch of farthest-point/noise inits — one
+    compile, the restart axis rides the MXU alongside the sequence batch —
+    and select the winner by final ELBO on device.
+
+    Returns (best params, elbo histories (num_restarts, num_iters),
+    best restart index). `elbos[best, -1]` is the winning ELBO.
+    """
+    keys = jax.random.split(key, num_restarts)
+    inits = jax.vmap(lambda k: init_params(k, prior, emission, obs))(keys)
+    finals, elbos = jax.vmap(
+        lambda p0: fit(p0, prior, obs, emission, num_iters, method)
+    )(inits)
+    best = jnp.argmax(elbos[:, -1])
+    best_params = jax.tree.map(lambda x: x[best], finals)
+    return best_params, elbos, best

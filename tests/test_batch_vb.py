@@ -114,3 +114,44 @@ class TestMultinomialBatchVB:
         pll = float(predictive_log_likelihood(params, MultinomialDirichlet, held))
         uniform = held.size * np.log(1.0 / V)
         assert pll > uniform
+
+
+class TestFitRestarts:
+    def test_selects_argmax_and_dominates_single_seed(self):
+        """fit_restarts returns the argmax-final-ELBO restart's params and is
+        at least as good as any single-seed run from the same key family."""
+        K, D, B, T = 4, 2, 16, 150
+        obs, z_true, _ = gen_gaussian_dataset(
+            jax.random.PRNGKey(2), K, D, B, T, mean_scale=6.0, cov_scale=0.3
+        )
+        prior = make_prior(K, GaussianNIW, obs_dim=D)
+        key = jax.random.PRNGKey(11)
+        params, elbos, best = batch_vb.fit_restarts(
+            key, prior, obs, GaussianNIW, num_iters=30, num_restarts=4
+        )
+        e = np.asarray(elbos)
+        assert e.shape == (4, 30)
+        assert int(best) == int(np.argmax(e[:, -1]))
+        # the returned params ARE the winning restart: one more step from
+        # them must continue that restart's trajectory (elbo >= its final)
+        step = batch_vb.make_step(GaussianNIW)
+        _, elbo_next = step(params, prior, obs)
+        assert float(elbo_next) >= e[best, -1] - 1e-3 * abs(e[best, -1])
+        # dominates each restart run individually (vmap == loop consistency)
+        keys = jax.random.split(key, 4)
+        for i, k in enumerate(keys):
+            p0 = init_params(k, prior, GaussianNIW, obs)
+            _, e_i = batch_vb.fit(p0, prior, obs, GaussianNIW, num_iters=30)
+            np.testing.assert_allclose(np.asarray(e_i), e[i], rtol=2e-4)
+        assert e[best, -1] == e[:, -1].max()
+
+    def test_compat_restarts(self):
+        from pysvihmm_tpu.compat import VBHMM
+
+        K, D, B, T = 4, 2, 12, 120
+        obs, z_true, _ = gen_gaussian_dataset(
+            jax.random.PRNGKey(3), K, D, B, T, mean_scale=6.0, cov_scale=0.3
+        )
+        m = VBHMM(obs, K=K).infer(maxit=25, restarts=3, seed=5)
+        assert len(m.elbo_history) == 25
+        assert hamming_error(np.asarray(m.decode()), np.asarray(z_true), K) < 0.1
