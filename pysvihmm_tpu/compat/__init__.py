@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data import synthetic  # noqa: F401  (re-export convenience)
-from ..distributions import GaussianNIW, MultinomialDirichlet
+from ..distributions import DiagonalGaussianNIG, GaussianNIW, MultinomialDirichlet
 from ..engines import batch_sgd, batch_vb, gibbs, metaobs, svi
 from ..engines.base import (
     decode as _decode,
@@ -64,6 +64,12 @@ class _HMMBase:
             self.emission = GaussianNIW
             self.prior = make_prior(
                 K, GaussianNIW, obs_dim=obs.shape[-1],
+                alpha_init=alpha_init, alpha_tran=alpha_tran, **emission_kw,
+            )
+        elif emission == "diag_gaussian":
+            self.emission = DiagonalGaussianNIG
+            self.prior = make_prior(
+                K, DiagonalGaussianNIG, obs_dim=obs.shape[-1],
                 alpha_init=alpha_init, alpha_tran=alpha_tran, **emission_kw,
             )
         elif emission == "multinomial":
@@ -114,11 +120,10 @@ class _HMMBase:
         held = jnp.asarray(held_out)
         if held.ndim == self.obs.ndim - 1:
             held = held[None]
+        n_obs = held.size if self.emission is MultinomialDirichlet else held[..., 0].size
         return float(
             predictive_log_likelihood(self.params, self.emission, held)
-        ) / held[..., 0].size if self.emission is GaussianNIW else float(
-            predictive_log_likelihood(self.params, self.emission, held)
-        ) / held.size
+        ) / n_obs
 
 
 class VBHMM(_HMMBase):

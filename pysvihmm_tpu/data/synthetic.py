@@ -12,7 +12,11 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..distributions.emissions import GaussianNIW, MultinomialDirichlet
+from ..distributions.emissions import (
+    DiagonalGaussianNIG,
+    GaussianNIW,
+    MultinomialDirichlet,
+)
 
 
 class TrueParams(NamedTuple):
@@ -92,6 +96,36 @@ def gen_gaussian_dataset(
     kp, kd = jax.random.split(key)
     params = make_gaussian_params(kp, K, D, **kw)
     y, z = gen_data(kd, params, GaussianNIW, num_seqs=num_seqs, T=T)
+    return y, z, params
+
+
+def make_diag_gaussian_params(
+    key: jax.Array,
+    K: int,
+    D: int,
+    *,
+    mean_scale: float = 5.0,
+    var_scale: float = 0.5,
+    self_prob: float = 0.8,
+) -> TrueParams:
+    """Diagonal-covariance variant of :func:`make_gaussian_params`:
+    theta = (mu (K, D), sigma2 (K, D)) with heterogeneous per-dim variances."""
+    k1, k2 = jax.random.split(key)
+    pi = jnp.full((K,), 1.0 / K)
+    A = jnp.full((K, K), (1.0 - self_prob) / (K - 1)) + (
+        self_prob - (1.0 - self_prob) / (K - 1)
+    ) * jnp.eye(K)
+    mu = mean_scale * jax.random.normal(k1, (K, D))
+    sigma2 = var_scale * jax.random.uniform(k2, (K, D), minval=0.5, maxval=2.0)
+    return TrueParams(pi=pi, A=A, theta=(mu, sigma2))
+
+
+def gen_diag_gaussian_dataset(
+    key: jax.Array, K: int, D: int, num_seqs: int, T: int, **kw
+) -> tuple[jax.Array, jax.Array, TrueParams]:
+    kp, kd = jax.random.split(key)
+    params = make_diag_gaussian_params(kp, K, D, **kw)
+    y, z = gen_data(kd, params, DiagonalGaussianNIG, num_seqs=num_seqs, T=T)
     return y, z, params
 
 

@@ -9,8 +9,16 @@ family chosen statically at jit time.
 Families:
   * :class:`GaussianNIW` — Gaussian emissions under a Normal-Inverse-Wishart
     prior (reference: ``pybasicbayes`` ``Gaussian``).
+  * :class:`DiagonalGaussianNIG` — diagonal-covariance Gaussian emissions
+    under per-dimension Normal-Inverse-Gamma priors (reference:
+    ``pybasicbayes`` ``DiagonalGaussian``).
   * :class:`MultinomialDirichlet` — categorical emissions over V symbols
     under a Dirichlet prior (reference: ``pybasicbayes`` ``Multinomial``).
+
+Families exposing ``ell_features`` / ``ell_feature_matrix`` /
+``unpack_flat_stats`` plug directly into the fused Pallas E-step
+(engines/base.py): the expected log-likelihood is feats @ W and the emission
+sufficient statistics are one gamma^T @ feats matmul unpacked per family.
 """
 
 from __future__ import annotations
@@ -20,7 +28,8 @@ from typing import Any, NamedTuple
 import jax
 import jax.numpy as jnp
 
-from . import dirichlet, niw
+from . import diag_gaussian, dirichlet, niw
+from .diag_gaussian import NIG, DiagGaussianStats
 from .niw import NIW, GaussianStats
 
 
@@ -97,6 +106,95 @@ class GaussianNIW:
         eps = jax.random.normal(key, z.shape + (mu.shape[-1],), dtype=mu.dtype)
         return mu[z] + jnp.einsum("...de,...e->...d", chol[z], eps)
 
+    @staticmethod
+    def unpack_flat_stats(params: NIW, S: jax.Array) -> GaussianStats:
+        """(K, 1+D+D^2) fused-kernel accumulator -> GaussianStats."""
+        D = params.mean.shape[-1]
+        K = S.shape[0]
+        return GaussianStats(
+            n=S[:, 0], sum_y=S[:, 1 : 1 + D], sum_yyT=S[:, 1 + D :].reshape(K, D, D)
+        )
+
+
+class DiagonalGaussianNIG:
+    """Diagonal-Gaussian emissions, per-dim NIG prior. Params: :class:`NIG` (K, D)."""
+
+    name = "diag_gaussian_nig"
+
+    @staticmethod
+    def make_prior(K: int, obs_dim: int, dtype=jnp.float32, **kw) -> NIG:
+        return diag_gaussian.make_prior(K, obs_dim, dtype=dtype, **kw)
+
+    @staticmethod
+    def expected_log_likelihood(params: NIG, y: jax.Array) -> jax.Array:
+        """y (..., D) -> (..., K)."""
+        return diag_gaussian.expected_log_likelihood(params, y)
+
+    @staticmethod
+    def ell_features(y: jax.Array) -> jax.Array:
+        """Shared per-observation features [1, y, y^2] (width 1+2D)."""
+        return diag_gaussian.ell_features(y)
+
+    @staticmethod
+    def ell_feature_matrix(params: NIG) -> jax.Array:
+        return diag_gaussian.ell_feature_matrix(params)
+
+    @staticmethod
+    def suff_stats(gamma: jax.Array, y: jax.Array) -> DiagGaussianStats:
+        return diag_gaussian.suff_stats(gamma, y)
+
+    @staticmethod
+    def zero_stats(params: NIG) -> DiagGaussianStats:
+        K, D = params.mean.shape[-2], params.mean.shape[-1]
+        z, dt = jnp.zeros, params.mean.dtype
+        return DiagGaussianStats(n=z((K,), dt), sum_y=z((K, D), dt), sum_y2=z((K, D), dt))
+
+    @staticmethod
+    def posterior(prior: NIG, stats: DiagGaussianStats) -> NIG:
+        return diag_gaussian.posterior(prior, stats)
+
+    @staticmethod
+    def nat_grad_step(q: NIG, prior: NIG, stats: DiagGaussianStats, scale, rho) -> NIG:
+        return diag_gaussian.nat_grad_step(q, prior, stats, scale, rho)
+
+    @staticmethod
+    def kl(q: NIG, p: NIG) -> jax.Array:
+        return jnp.sum(diag_gaussian.kl(q, p))
+
+    @staticmethod
+    def mean_params(q: NIG):
+        return diag_gaussian.mean_params(q)
+
+    @staticmethod
+    def point_log_likelihood(theta, y: jax.Array) -> jax.Array:
+        """theta = (mu (K,D), sigma2 (K,D)); y (..., D) -> (..., K)."""
+        mu, sigma2 = theta
+        return diag_gaussian.diag_gaussian_log_likelihood(mu, sigma2, y)
+
+    @staticmethod
+    def predictive_log_likelihood(params: NIG, y: jax.Array) -> jax.Array:
+        """Exact posterior-predictive (per-dim Student-t product)."""
+        return diag_gaussian.predictive_log_likelihood(params, y)
+
+    @staticmethod
+    def sample_params(key: jax.Array, q: NIG):
+        return diag_gaussian.sample_params(key, q)
+
+    @staticmethod
+    def sample_obs(key: jax.Array, theta, z: jax.Array) -> jax.Array:
+        """Sample y_t | z_t for an int state path z (...,)."""
+        mu, sigma2 = theta
+        eps = jax.random.normal(key, z.shape + (mu.shape[-1],), dtype=mu.dtype)
+        return mu[z] + jnp.sqrt(sigma2[z]) * eps
+
+    @staticmethod
+    def unpack_flat_stats(params: NIG, S: jax.Array) -> DiagGaussianStats:
+        """(K, 1+2D) fused-kernel accumulator -> DiagGaussianStats."""
+        D = params.mean.shape[-1]
+        return DiagGaussianStats(
+            n=S[:, 0], sum_y=S[:, 1 : 1 + D], sum_y2=S[:, 1 + D :]
+        )
+
 
 class MultinomialDirichlet:
     """Categorical emissions over V symbols, Dirichlet prior. Params: (K, V) array."""
@@ -162,3 +260,8 @@ class MultinomialDirichlet:
     def sample_obs(key: jax.Array, theta: jax.Array, z: jax.Array) -> jax.Array:
         logits = jnp.log(theta)[z]  # (..., V)
         return jax.random.categorical(key, logits, axis=-1)
+
+    @staticmethod
+    def unpack_flat_stats(params: jax.Array, S: jax.Array) -> jax.Array:
+        """(K, V) fused-kernel accumulator IS the Dirichlet stats matrix."""
+        return S

@@ -158,16 +158,7 @@ def _fused_feats_W(emission, emit_params, obs_tm):
 
 def _unpack_emit_stats(emission, emit_params, S):
     """(K, F) fused-kernel accumulator -> the emission family's stats pytree."""
-    from ..distributions.emissions import MultinomialDirichlet
-    from ..distributions.niw import GaussianStats
-
-    if emission is MultinomialDirichlet:
-        return S
-    D = emit_params.mean.shape[-1]
-    K = S.shape[0]
-    return GaussianStats(
-        n=S[:, 0], sum_y=S[:, 1 : 1 + D], sum_yyT=S[:, 1 + D :].reshape(K, D, D)
-    )
+    return emission.unpack_flat_stats(emit_params, S)
 
 
 def _pallas_fused_estep(params, emission, obs, weights=None, need_gamma=True):
@@ -329,7 +320,6 @@ def _packed_emission_stats(
     reshape to the lane-packed 2D form is a free bitcast.
     """
     from ..distributions.emissions import MultinomialDirichlet
-    from ..distributions.niw import _pair_features
 
     T, R, PK = gamma_packed.shape
     g2 = gamma_packed.reshape(T * R, PK)
@@ -362,13 +352,11 @@ def _packed_emission_stats(
         )
         return sum(acc[p * K : (p + 1) * K, p * V : (p + 1) * V] for p in range(P))
 
-    D = obs_tm.shape[-1]
     K = emit_params.mean.shape[0]
     P = PK // K
-    F = 1 + D + D * D
     if feats is None:
-        ones = jnp.ones(obs_tm.shape[:-1] + (1,), obs_tm.dtype)
-        feats = jnp.concatenate([ones, obs_tm, _pair_features(obs_tm)], axis=-1)
+        feats = emission.ell_features(obs_tm)
+    F = feats.shape[-1]
     if weights_tm is not None:
         feats = feats * weights_tm[..., None]
     f2 = feats.reshape(T * R, P * F)

@@ -22,7 +22,11 @@ import jax.numpy as jnp
 
 from ..distributions import dirichlet
 from ..models.hmm import HMMParams, emission_flat_stats
-from ..distributions.emissions import GaussianNIW, MultinomialDirichlet
+from ..distributions.emissions import (
+    DiagonalGaussianNIG,
+    GaussianNIW,
+    MultinomialDirichlet,
+)
 from .. import messages
 from ..utils.precision import f32_matmuls
 
@@ -80,7 +84,7 @@ def init_state(key: jax.Array, prior: HMMParams, emission, obs: jax.Array, K: in
     pi0 = jnp.full((K,), 1.0 / K, prior.init.dtype)
     A0 = jnp.full((K, K), 1.0 / K, prior.init.dtype)
     theta0 = emission.sample_params(k_t, prior.emit)
-    if emission is GaussianNIW:
+    if emission in (GaussianNIW, DiagonalGaussianNIG):
         # Seed means at farthest-point data locations (like the VB init):
         # prior-mean draws sit at the prior mean and mix badly on offset data.
         from ..models.hmm import _farthest_point_means

@@ -19,7 +19,11 @@ import jax
 import jax.numpy as jnp
 
 from ..distributions import dirichlet
-from ..distributions.emissions import GaussianNIW, MultinomialDirichlet
+from ..distributions.emissions import (
+    DiagonalGaussianNIG,
+    GaussianNIW,
+    MultinomialDirichlet,
+)
 from ..utils.precision import f32_matmuls
 
 
@@ -49,6 +53,8 @@ def make_prior(
 ) -> HMMParams:
     if emission is GaussianNIW:
         emit = GaussianNIW.make_prior(K, obs_dim, dtype=dtype, **emission_kw)
+    elif emission is DiagonalGaussianNIG:
+        emit = DiagonalGaussianNIG.make_prior(K, obs_dim, dtype=dtype, **emission_kw)
     elif emission is MultinomialDirichlet:
         emit = MultinomialDirichlet.make_prior(K, num_symbols, dtype=dtype, **emission_kw)
     else:
@@ -95,7 +101,7 @@ def init_params(
     init = prior.init + jax.random.uniform(k1, prior.init.shape, prior.init.dtype, 0.5, 1.5)
     trans = prior.trans + jax.random.uniform(k2, prior.trans.shape, prior.trans.dtype, 0.5, 1.5)
     emit = prior.emit
-    if emission is GaussianNIW and obs_sample is not None:
+    if emission in (GaussianNIW, DiagonalGaussianNIG) and obs_sample is not None:
         flat = obs_sample.reshape(-1, obs_sample.shape[-1]).astype(prior.emit.mean.dtype)
         emit = emit._replace(mean=_farthest_point_means(k3, flat, K))
     elif emission is MultinomialDirichlet:

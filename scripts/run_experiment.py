@@ -21,7 +21,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from pysvihmm_tpu.config import parse_config
-from pysvihmm_tpu.data.synthetic import gen_gaussian_dataset, gen_multinomial_dataset
+from pysvihmm_tpu.data.synthetic import (
+    gen_diag_gaussian_dataset,
+    gen_gaussian_dataset,
+    gen_multinomial_dataset,
+)
 from pysvihmm_tpu.distributions import GaussianNIW, MultinomialDirichlet
 from pysvihmm_tpu.engines import batch_sgd, batch_vb, gibbs, metaobs, svi
 from pysvihmm_tpu.engines.base import decode, lower_bound
@@ -41,6 +45,17 @@ def main(argv=None):
         obs, z_true, _ = gen_gaussian_dataset(
             key, cfg.model.K, cfg.model.obs_dim, num_seqs=64, T=500,
             mean_scale=6.0, cov_scale=0.3,
+        )
+        prior = make_prior(cfg.model.K, emission, obs_dim=cfg.model.obs_dim,
+                           alpha_init=cfg.model.alpha_init,
+                           alpha_tran=cfg.model.alpha_tran)
+    elif cfg.model.emission == "diag_gaussian":
+        from pysvihmm_tpu.distributions import DiagonalGaussianNIG
+
+        emission = DiagonalGaussianNIG
+        obs, z_true, _ = gen_diag_gaussian_dataset(
+            key, cfg.model.K, cfg.model.obs_dim, num_seqs=64, T=500,
+            mean_scale=6.0, var_scale=0.3,
         )
         prior = make_prior(cfg.model.K, emission, obs_dim=cfg.model.obs_dim,
                            alpha_init=cfg.model.alpha_init,

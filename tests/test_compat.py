@@ -123,3 +123,20 @@ class TestReferenceAccessors:
         ve = m.var_emit
         # per-state emission posteriors as a leading-K NIW pytree
         assert ve.mean.shape == (3, 2) and ve.psi.shape == (3, 2, 2)
+
+
+class TestDiagGaussianCompat:
+    def test_vbhmm_diag_emission(self):
+        from pysvihmm_tpu.data.synthetic import gen_diag_gaussian_dataset
+
+        obs, z_true, _ = gen_diag_gaussian_dataset(
+            jax.random.PRNGKey(31), 3, 2, num_seqs=10, T=150, mean_scale=6.0
+        )
+        m = VBHMM(np.asarray(obs), K=3, emission="diag_gaussian").infer(maxit=30)
+        assert m.hamming_dist(np.asarray(z_true)) < 0.05
+        e = m.elbo_history
+        assert all(b >= a - abs(a) * 1e-5 for a, b in zip(e, e[1:]))
+        # var_emit exposes the per-state NIG pytree
+        assert m.var_emit.mean.shape == (3, 2) and m.var_emit.b.shape == (3, 2)
+        lp = m.pred_logprob(np.asarray(obs[:2]))
+        assert np.isfinite(lp) and lp < 0

@@ -208,3 +208,153 @@ class TestMultinomial:
         for t in range(T):
             want[gamma[t].argmax(), y[t]] += 1
         np.testing.assert_allclose(stats, want, atol=1e-4)
+
+
+class TestDiagGaussianNIG:
+    """Diagonal-Gaussian / NIG family. Exactness anchor: at D=1 the NIG
+    (a, b) prior on sigma2 IS the NIW with nu = 2a, psi = 2b, so every
+    quantity must agree with the (separately-tested) NIW module exactly;
+    D > 1 is a product of independent 1-D cases."""
+
+    def _random_q(self, K=3, D=4):
+        from pysvihmm_tpu.distributions import diag_gaussian as dg
+
+        return dg.NIG(
+            mean=jnp.array(rng.normal(size=(K, D)), jnp.float32),
+            kappa=jnp.array(rng.uniform(0.5, 5.0, size=(K, D)), jnp.float32),
+            a=jnp.array(rng.uniform(1.5, 6.0, size=(K, D)), jnp.float32),
+            b=jnp.array(rng.uniform(0.5, 4.0, size=(K, D)), jnp.float32),
+        )
+
+    def _as_niw_1d(self, q, d):
+        """Dimension d of a NIG pytree as the equivalent D=1 NIW."""
+        return niw.NIW(
+            mean=q.mean[:, d : d + 1],
+            kappa=q.kappa[:, d],
+            nu=2.0 * q.a[:, d],
+            psi=2.0 * q.b[:, d, None, None],
+        )
+
+    def test_ell_equals_sum_of_1d_niw(self):
+        from pysvihmm_tpu.distributions import diag_gaussian as dg
+
+        q = self._random_q()
+        y = jnp.array(rng.normal(size=(60, 4)), jnp.float32)
+        got = np.array(dg.expected_log_likelihood(q, y))
+        want = sum(
+            np.array(niw.expected_log_likelihood(self._as_niw_1d(q, d), y[:, d : d + 1]))
+            for d in range(4)
+        )
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+    def test_ell_feature_matrix_matches_ell(self):
+        from pysvihmm_tpu.distributions import diag_gaussian as dg
+
+        q = self._random_q()
+        y = jnp.array(rng.normal(size=(60, 4)), jnp.float32)
+        feats = dg.ell_features(y)
+        assert feats.shape == (60, 1 + 2 * 4)
+        got = np.array(feats @ dg.ell_feature_matrix(q))
+        want = np.array(dg.expected_log_likelihood(q, y))
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+    def test_posterior_matches_niw_1d(self):
+        from pysvihmm_tpu.distributions import diag_gaussian as dg
+
+        K, D, T = 3, 4, 50
+        prior = dg.make_prior(K, D, kappa=1.3, a=2.2, b=0.9)
+        gamma = jnp.array(rng.uniform(0.0, 1.0, size=(T, K)), jnp.float32)
+        y = jnp.array(rng.normal(size=(T, D)), jnp.float32)
+        stats = dg.suff_stats(gamma, y)
+        post = dg.posterior(prior, stats)
+        for d in range(D):
+            want = niw.posterior(
+                self._as_niw_1d(prior, d),
+                niw.GaussianStats(
+                    n=stats.n,
+                    sum_y=stats.sum_y[:, d : d + 1],
+                    sum_yyT=stats.sum_y2[:, d, None, None],
+                ),
+            )
+            got = self._as_niw_1d(post, d)
+            for a, b in zip(jax.tree.leaves(got), jax.tree.leaves(want)):
+                np.testing.assert_allclose(np.array(a), np.array(b), rtol=2e-5, atol=2e-5)
+
+    def test_nat_grad_rho1_equals_posterior_and_roundtrip(self):
+        from pysvihmm_tpu.distributions import diag_gaussian as dg
+
+        q = self._random_q()
+        prior = dg.make_prior(3, 4)
+        gamma = jnp.array(rng.uniform(0.0, 1.0, size=(30, 3)), jnp.float32)
+        y = jnp.array(rng.normal(size=(30, 4)), jnp.float32)
+        stats = dg.suff_stats(gamma, y)
+        stepped = dg.nat_grad_step(q, prior, stats, 1.0, 1.0)
+        want = dg.posterior(prior, stats)
+        for a, b in zip(jax.tree.leaves(stepped), jax.tree.leaves(want)):
+            np.testing.assert_allclose(np.array(a), np.array(b), rtol=2e-5, atol=2e-5)
+        rt = dg.from_natural(dg.to_natural(q))
+        for a, b in zip(jax.tree.leaves(rt), jax.tree.leaves(q)):
+            np.testing.assert_allclose(np.array(a), np.array(b), rtol=1e-5, atol=1e-6)
+
+    def test_kl_matches_niw_1d_and_properties(self):
+        from pysvihmm_tpu.distributions import diag_gaussian as dg
+
+        q, p = self._random_q(), self._random_q()
+        got = np.array(dg.kl(q, p))
+        want = sum(
+            np.array(niw.kl(self._as_niw_1d(q, d), self._as_niw_1d(p, d)))
+            for d in range(4)
+        )
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(np.array(dg.kl(q, q)), 0.0, atol=2e-4)
+        assert np.all(got >= -1e-4)
+
+    def test_predictive_matches_niw_1d(self):
+        from pysvihmm_tpu.distributions import diag_gaussian as dg
+
+        q = self._random_q()
+        y = jnp.array(rng.normal(size=(40, 4)), jnp.float32)
+        got = np.array(dg.predictive_log_likelihood(q, y))
+        want = sum(
+            np.array(
+                niw.predictive_log_likelihood(self._as_niw_1d(q, d), y[:, d : d + 1])
+            )
+            for d in range(4)
+        )
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+    def test_sample_params_moments(self):
+        from pysvihmm_tpu.distributions import diag_gaussian as dg
+
+        q = dg.NIG(
+            mean=jnp.full((1, 2), 3.0),
+            kappa=jnp.full((1, 2), 4.0),
+            a=jnp.full((1, 2), 5.0),
+            b=jnp.full((1, 2), 8.0),
+        )
+        keys = jax.random.split(jax.random.PRNGKey(0), 4000)
+        mus, s2s = jax.vmap(lambda k: dg.sample_params(k, q))(keys)
+        np.testing.assert_allclose(np.array(mus).mean(0), 3.0, atol=0.05)
+        # E[sigma2] = b / (a - 1) = 2.0
+        np.testing.assert_allclose(np.array(s2s).mean(0), 2.0, atol=0.1)
+
+    def test_point_log_likelihood_scipy(self):
+        from pysvihmm_tpu.distributions import diag_gaussian as dg
+
+        mu = rng.normal(size=(3, 2))
+        s2 = rng.uniform(0.5, 2.0, size=(3, 2))
+        y = rng.normal(size=(20, 2))
+        got = np.array(
+            dg.diag_gaussian_log_likelihood(
+                jnp.array(mu, jnp.float32), jnp.array(s2, jnp.float32),
+                jnp.array(y, jnp.float32),
+            )
+        )
+        want = np.stack(
+            [
+                scistats.norm.logpdf(y, mu[k], np.sqrt(s2[k])).sum(-1)
+                for k in range(3)
+            ],
+            axis=-1,
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)

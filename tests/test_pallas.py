@@ -426,3 +426,56 @@ class TestPallasAccuracy:
         assert np.abs(np.asarray(fb.gamma, np.float64) - gam64).max() < 1e-5
         np.testing.assert_allclose(np.asarray(fb.gamma).sum(-1), 1.0, atol=1e-5)
         assert np.abs(np.asarray(fb.trans_stats, np.float64) - xi64).max() < 5e-3
+
+
+class TestPallasDiagGaussian:
+    """The fused paths are family-generic through ell_features /
+    ell_feature_matrix / unpack_flat_stats: verify on DiagonalGaussianNIG
+    (feature width 1+2D — a different lane packing than NIW's 1+D+D^2)."""
+
+    def _problem(self, B, T, K, D, seed=0):
+        from pysvihmm_tpu.data.synthetic import gen_diag_gaussian_dataset
+        from pysvihmm_tpu.distributions import DiagonalGaussianNIG
+        from pysvihmm_tpu.models.hmm import init_params, make_prior
+
+        obs, _, _ = gen_diag_gaussian_dataset(jax.random.PRNGKey(seed), K, D, B, T)
+        prior = make_prior(K, DiagonalGaussianNIG, obs_dim=D)
+        params = init_params(
+            jax.random.PRNGKey(seed + 1), prior, DiagonalGaussianNIG, obs
+        )
+        return params, obs
+
+    @pytest.mark.parametrize("method", ["pallas", "pallas_fused"])
+    def test_local_step_matches_scan(self, method):
+        from pysvihmm_tpu.distributions import DiagonalGaussianNIG
+        from pysvihmm_tpu.engines.base import batch_local_step
+
+        params, obs = self._problem(4, 32, 4, 3)
+        sf, gf = batch_local_step(params, DiagonalGaussianNIG, obs, method)
+        ss, gs = batch_local_step(params, DiagonalGaussianNIG, obs, "scan")
+        np.testing.assert_allclose(np.array(gf), np.array(gs), atol=5e-5)
+        np.testing.assert_allclose(np.array(sf.init), np.array(ss.init), atol=5e-5)
+        np.testing.assert_allclose(np.array(sf.trans), np.array(ss.trans), atol=1e-3)
+        np.testing.assert_allclose(float(sf.log_z), float(ss.log_z), rtol=2e-6)
+        for a, b in zip(jax.tree.leaves(sf.emit), jax.tree.leaves(ss.emit)):
+            np.testing.assert_allclose(np.array(a), np.array(b), rtol=3e-3, atol=2e-3)
+
+    def test_windowed_local_step_matches_scan(self):
+        from pysvihmm_tpu.distributions import DiagonalGaussianNIG
+        from pysvihmm_tpu.engines.base import windowed_local_step
+
+        params, obs = self._problem(6, 24, 4, 3, seed=7)
+        maskf = jnp.array(
+            rng.integers(0, 2, size=(6, 24)).astype(np.float32) * 0 + 1.0
+        )
+        # realistic SVI kept-masks: buffer edges off
+        maskf = maskf.at[:, :4].set(0.0).at[:, -4:].set(0.0)
+        offs = jnp.full((6,), 4, jnp.int32)
+        outs = {}
+        for method in ("pallas", "pallas_fused", "scan"):
+            outs[method] = windowed_local_step(
+                params, DiagonalGaussianNIG, obs, maskf, offs, method
+            )
+        for method in ("pallas", "pallas_fused"):
+            for a, b in zip(jax.tree.leaves(outs[method][:3]), jax.tree.leaves(outs["scan"][:3])):
+                np.testing.assert_allclose(np.array(a), np.array(b), rtol=3e-3, atol=2e-3)

@@ -207,3 +207,25 @@ class TestMinibatchSVI:
         zs = decode(state.params, GaussianNIW, obs)
         err = hamming_error(np.array(zs), np.array(z_true), K)
         assert err < 0.05, f"hamming {err}"
+
+
+class TestDiagGaussianSVI:
+    def test_single_chain_convergence_diag(self):
+        """The SVI engine is emission-family-generic: converges with
+        DiagonalGaussianNIG emissions (per-dim NIG natural-gradient steps)."""
+        from pysvihmm_tpu.data.synthetic import gen_diag_gaussian_dataset
+        from pysvihmm_tpu.distributions import DiagonalGaussianNIG
+
+        K, D, T = 4, 2, 3000
+        obs, z_true, _ = gen_diag_gaussian_dataset(
+            jax.random.PRNGKey(5), K, D, 1, T, mean_scale=6.0, var_scale=0.3
+        )
+        chain = obs[0]
+        prior = make_prior(K, DiagonalGaussianNIG, obs_dim=D)
+        params0 = init_params(jax.random.PRNGKey(16), prior, DiagonalGaussianNIG, chain)
+        cfg = svi.SVIConfig(batch_size=16, subchain_len=50, buffer=10, tau=10.0, kappa=0.6)
+        state = svi.init_state(params0, jax.random.PRNGKey(17))
+        state, _ = svi.fit(state, prior, chain, DiagonalGaussianNIG, cfg, num_steps=300)
+        zs = decode(state.params, DiagonalGaussianNIG, chain[None])
+        err = hamming_error(np.array(zs), np.array(z_true), K)
+        assert err < 0.05, f"hamming {err}"

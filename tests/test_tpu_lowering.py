@@ -74,3 +74,17 @@ class TestTPULowering:
             ),
             LOG_PI, LOG_A, LL, MASK,
         )
+
+
+class TestTPULoweringDiagFamily:
+    """Feature width 1 + 2D (DiagonalGaussianNIG) lowers via Mosaic too —
+    a narrower, non-NIW lane packing of the fused kernels."""
+
+    def test_fused_diag_features(self):
+        F_diag = 1 + 2 * D
+        feats = jax.ShapeDtypeStruct((T, B, F_diag), jnp.float32)
+        wmat = jax.ShapeDtypeStruct((F_diag, K), jnp.float32)
+        _lowers(
+            lambda p, A, W, f: pallas_estep_fused(p, A, W, f, emit_gamma=False),
+            LOG_PI, LOG_A, wmat, feats,
+        )
