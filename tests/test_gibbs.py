@@ -48,3 +48,21 @@ class TestGibbsMultinomial:
         state, _ = gibbs.run(state, prior, obs, MultinomialDirichlet, K, num_sweeps=80)
         err = hamming_error(np.array(state.z), np.array(z_true), K)
         assert err < 0.15, f"hamming {err}"
+
+
+class TestGibbsDiagGaussian:
+    def test_recovery(self):
+        from pysvihmm_tpu.data.synthetic import gen_diag_gaussian_dataset
+        from pysvihmm_tpu.distributions import DiagonalGaussianNIG
+
+        K, D, B, T = 4, 2, 10, 200
+        obs, z_true, _ = gen_diag_gaussian_dataset(
+            jax.random.PRNGKey(2), K, D, B, T, mean_scale=6.0, var_scale=0.3
+        )
+        prior = make_prior(K, DiagonalGaussianNIG, obs_dim=D)
+        state = gibbs.init_state(jax.random.PRNGKey(3), prior, DiagonalGaussianNIG, obs, K)
+        state, metrics = gibbs.run(state, prior, obs, DiagonalGaussianNIG, K, num_sweeps=60)
+        mll = np.array(metrics["marginal_loglik"])
+        assert np.mean(mll[-10:]) > np.mean(mll[:5])
+        err = hamming_error(np.array(state.z), np.array(z_true), K)
+        assert err < 0.05, f"hamming {err}"
