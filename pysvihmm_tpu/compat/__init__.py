@@ -32,7 +32,7 @@ from ..engines.base import (
     viterbi_decode,
 )
 from ..eval.metrics import hamming_error
-from ..models.hmm import HMMParams, init_params, make_prior
+from ..models.hmm import HMMParams, init_params, make_prior, resolve_emission
 
 
 class _HMMBase:
@@ -60,27 +60,16 @@ class _HMMBase:
 
         if emission is None:
             emission = "multinomial" if jnp.issubdtype(obs.dtype, jnp.integer) else "gaussian"
-        if emission == "gaussian":
-            self.emission = GaussianNIW
-            self.prior = make_prior(
-                K, GaussianNIW, obs_dim=obs.shape[-1],
-                alpha_init=alpha_init, alpha_tran=alpha_tran, **emission_kw,
-            )
-        elif emission == "diag_gaussian":
-            self.emission = DiagonalGaussianNIG
-            self.prior = make_prior(
-                K, DiagonalGaussianNIG, obs_dim=obs.shape[-1],
-                alpha_init=alpha_init, alpha_tran=alpha_tran, **emission_kw,
-            )
-        elif emission == "multinomial":
+        self.emission = resolve_emission(emission)
+        if self.emission is MultinomialDirichlet:
             V = num_symbols if num_symbols is not None else int(obs.max()) + 1
-            self.emission = MultinomialDirichlet
-            self.prior = make_prior(
-                K, MultinomialDirichlet, num_symbols=V,
-                alpha_init=alpha_init, alpha_tran=alpha_tran, **emission_kw,
-            )
+            size_kw = dict(num_symbols=V)
         else:
-            raise ValueError(f"unknown emission family {emission!r}")
+            size_kw = dict(obs_dim=obs.shape[-1])
+        self.prior = make_prior(
+            K, self.emission, alpha_init=alpha_init, alpha_tran=alpha_tran,
+            **size_kw, **emission_kw,
+        )
 
         self.params = init_params(jax.random.PRNGKey(seed), self.prior, self.emission, obs)
         self.elbo_history: list[float] = []

@@ -25,6 +25,13 @@ class TrueParams(NamedTuple):
     theta: object  # emission params: (mu, Sigma) or phi (K, V)
 
 
+def _sticky_transitions(K: int, self_prob: float) -> jax.Array:
+    """Sticky transition matrix: self_prob on the diagonal, rest uniform."""
+    return jnp.full((K, K), (1.0 - self_prob) / (K - 1)) + (
+        self_prob - (1.0 - self_prob) / (K - 1)
+    ) * jnp.eye(K)
+
+
 def make_gaussian_params(
     key: jax.Array,
     K: int,
@@ -38,9 +45,7 @@ def make_gaussian_params(
     canonical small-K test regime, SURVEY.md §4)."""
     k1, k2 = jax.random.split(key)
     pi = jnp.full((K,), 1.0 / K)
-    A = jnp.full((K, K), (1.0 - self_prob) / (K - 1)) + (
-        self_prob - (1.0 - self_prob) / (K - 1)
-    ) * jnp.eye(K)
+    A = _sticky_transitions(K, self_prob)
     mu = mean_scale * jax.random.normal(k1, (K, D))
     sigma = cov_scale * jnp.broadcast_to(jnp.eye(D), (K, D, D))
     return TrueParams(pi=pi, A=A, theta=(mu, sigma))
@@ -51,9 +56,7 @@ def make_multinomial_params(
 ) -> TrueParams:
     """Sparse symbol distributions per state (text-like, BASELINE config 3)."""
     pi = jnp.full((K,), 1.0 / K)
-    A = jnp.full((K, K), (1.0 - self_prob) / (K - 1)) + (
-        self_prob - (1.0 - self_prob) / (K - 1)
-    ) * jnp.eye(K)
+    A = _sticky_transitions(K, self_prob)
     phi = jax.random.dirichlet(key, jnp.full((K, V), concentration))
     return TrueParams(pi=pi, A=A, theta=phi)
 
@@ -112,9 +115,7 @@ def make_diag_gaussian_params(
     theta = (mu (K, D), sigma2 (K, D)) with heterogeneous per-dim variances."""
     k1, k2 = jax.random.split(key)
     pi = jnp.full((K,), 1.0 / K)
-    A = jnp.full((K, K), (1.0 - self_prob) / (K - 1)) + (
-        self_prob - (1.0 - self_prob) / (K - 1)
-    ) * jnp.eye(K)
+    A = _sticky_transitions(K, self_prob)
     mu = mean_scale * jax.random.normal(k1, (K, D))
     sigma2 = var_scale * jax.random.uniform(k2, (K, D), minval=0.5, maxval=2.0)
     return TrueParams(pi=pi, A=A, theta=(mu, sigma2))

@@ -106,7 +106,7 @@ def _pallas_packed_estep(params, emission, obs, weights=None):
     # production-scale likelihood matmul: 3-pass "high" (one-shot error,
     # ~5e-7 relative — utils/precision.py policy), not the 6-pass f32
     # the engine-wide guard would impose (~7% of the whole E-step).
-    # Families exposing ell_features (GaussianNIW) get ONE feats @ W matmul
+    # Families exposing ell_features (the Gaussian families) get ONE feats @ W matmul
     # whose (T, B, F) feature array is REUSED by the emission-stats matmul —
     # the y (x) y pair features are built and written to HBM once, not twice.
     feats_tm = None
@@ -315,8 +315,9 @@ def _packed_emission_stats(
     (cross-sequence blocks are discarded). Weights (kept-masks) multiply
     the FEATURE side, which is exactly gamma-weighting by linearity.
 
-    feats: optional precomputed (T, B, 1+D+D^2) f32 feature array shared
-    with the likelihood matmul (see :func:`_pallas_packed_estep`); its
+    feats: optional precomputed (T, B, F) f32 feature array shared with
+    the likelihood matmul (see :func:`_pallas_packed_estep`); F is family-
+    dependent (1+D+D^2 for GaussianNIW, 1+2D for DiagonalGaussianNIG). Its
     reshape to the lane-packed 2D form is a free bitcast.
     """
     from ..distributions.emissions import MultinomialDirichlet

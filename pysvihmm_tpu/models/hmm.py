@@ -27,6 +27,26 @@ from ..distributions.emissions import (
 from ..utils.precision import f32_matmuls
 
 
+# Canonical emission-family registry: the one string -> class mapping used
+# by the compat layer, config system, and experiment scripts.
+EMISSION_FAMILIES = {
+    "gaussian": GaussianNIW,
+    "diag_gaussian": DiagonalGaussianNIG,
+    "multinomial": MultinomialDirichlet,
+}
+
+
+def resolve_emission(name: str):
+    """Emission family class for a config string; raises on unknown names."""
+    try:
+        return EMISSION_FAMILIES[name]
+    except KeyError:
+        raise ValueError(
+            f"unknown emission family {name!r}; expected one of "
+            f"{sorted(EMISSION_FAMILIES)}"
+        ) from None
+
+
 class HMMParams(NamedTuple):
     """Variational posterior q(pi) q(A) q(phi) — also used for the prior.
 

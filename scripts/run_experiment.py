@@ -26,11 +26,10 @@ from pysvihmm_tpu.data.synthetic import (
     gen_gaussian_dataset,
     gen_multinomial_dataset,
 )
-from pysvihmm_tpu.distributions import GaussianNIW, MultinomialDirichlet
 from pysvihmm_tpu.engines import batch_sgd, batch_vb, gibbs, metaobs, svi
 from pysvihmm_tpu.engines.base import decode, lower_bound
 from pysvihmm_tpu.eval.metrics import hamming_error
-from pysvihmm_tpu.models.hmm import init_params, make_prior
+from pysvihmm_tpu.models.hmm import init_params, make_prior, resolve_emission
 from pysvihmm_tpu.utils import checkpoint
 from pysvihmm_tpu.utils.logging import MetricsLogger
 
@@ -40,32 +39,26 @@ def main(argv=None):
     key = jax.random.PRNGKey(cfg.run.seed)
     log = MetricsLogger()
 
+    emission = resolve_emission(cfg.model.emission)  # raises on unknown names
     if cfg.model.emission == "gaussian":
-        emission = GaussianNIW
         obs, z_true, _ = gen_gaussian_dataset(
             key, cfg.model.K, cfg.model.obs_dim, num_seqs=64, T=500,
             mean_scale=6.0, cov_scale=0.3,
         )
-        prior = make_prior(cfg.model.K, emission, obs_dim=cfg.model.obs_dim,
-                           alpha_init=cfg.model.alpha_init,
-                           alpha_tran=cfg.model.alpha_tran)
+        size_kw = dict(obs_dim=cfg.model.obs_dim)
     elif cfg.model.emission == "diag_gaussian":
-        from pysvihmm_tpu.distributions import DiagonalGaussianNIG
-
-        emission = DiagonalGaussianNIG
         obs, z_true, _ = gen_diag_gaussian_dataset(
             key, cfg.model.K, cfg.model.obs_dim, num_seqs=64, T=500,
             mean_scale=6.0, var_scale=0.3,
         )
-        prior = make_prior(cfg.model.K, emission, obs_dim=cfg.model.obs_dim,
-                           alpha_init=cfg.model.alpha_init,
-                           alpha_tran=cfg.model.alpha_tran)
+        size_kw = dict(obs_dim=cfg.model.obs_dim)
     else:
-        emission = MultinomialDirichlet
         obs, z_true, _ = gen_multinomial_dataset(
             key, cfg.model.K, cfg.model.num_symbols, num_seqs=64, T=500
         )
-        prior = make_prior(cfg.model.K, emission, num_symbols=cfg.model.num_symbols)
+        size_kw = dict(num_symbols=cfg.model.num_symbols)
+    prior = make_prior(cfg.model.K, emission, alpha_init=cfg.model.alpha_init,
+                       alpha_tran=cfg.model.alpha_tran, **size_kw)
 
     params = init_params(jax.random.PRNGKey(cfg.run.seed + 1), prior, emission, obs)
     t0 = time.perf_counter()

@@ -465,10 +465,8 @@ class TestPallasDiagGaussian:
         from pysvihmm_tpu.engines.base import windowed_local_step
 
         params, obs = self._problem(6, 24, 4, 3, seed=7)
-        maskf = jnp.array(
-            rng.integers(0, 2, size=(6, 24)).astype(np.float32) * 0 + 1.0
-        )
-        # realistic SVI kept-masks: buffer edges off
+        # realistic SVI kept-masks: all-ones with buffer edges off
+        maskf = jnp.ones((6, 24), jnp.float32)
         maskf = maskf.at[:, :4].set(0.0).at[:, -4:].set(0.0)
         offs = jnp.full((6,), 4, jnp.int32)
         outs = {}
