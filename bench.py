@@ -29,7 +29,7 @@ import numpy as np
 K, D, T = 64, 8, 1000
 
 
-def bench_jax(batch=1024, iters=20, method="scan"):
+def bench_jax(batch=1024, iters=20, method="scan", family="gaussian"):
     import os
 
     # persistent compile cache: Mosaic/XLA compiles through the axon relay
@@ -41,15 +41,19 @@ def bench_jax(batch=1024, iters=20, method="scan"):
     import jax.numpy as jnp
     from jax import lax
 
-    from pysvihmm_tpu.data.synthetic import gen_gaussian_dataset
-    from pysvihmm_tpu.distributions import GaussianNIW
+    from pysvihmm_tpu.data.synthetic import (
+        gen_diag_gaussian_dataset,
+        gen_gaussian_dataset,
+    )
     from pysvihmm_tpu.engines.base import batch_local_step
-    from pysvihmm_tpu.models.hmm import init_params, make_prior
+    from pysvihmm_tpu.models.hmm import init_params, make_prior, resolve_emission
 
-    obs, _, _ = gen_gaussian_dataset(jax.random.PRNGKey(0), K, D, batch, T)
+    emission = resolve_emission(family)
+    gen = gen_diag_gaussian_dataset if family == "diag_gaussian" else gen_gaussian_dataset
+    obs, _, _ = gen(jax.random.PRNGKey(0), K, D, batch, T)
     obs = obs.astype(jnp.float32)
-    prior = make_prior(K, GaussianNIW, obs_dim=D)
-    params = init_params(jax.random.PRNGKey(1), prior, GaussianNIW, obs)
+    prior = make_prior(K, emission, obs_dim=D)
+    params = init_params(jax.random.PRNGKey(1), prior, emission, obs)
 
     @jax.jit
     def run_n(params_, obs_, n_zero):
@@ -66,7 +70,7 @@ def bench_jax(batch=1024, iters=20, method="scan"):
             # need_gamma=False: training steps consume only the stats; on
             # the fully-fused path this skips materializing gamma entirely
             stats, gamma = batch_local_step(
-                p_var, GaussianNIW, obs_, method, need_gamma=False
+                p_var, emission, obs_, method, need_gamma=False
             )
             # consume EVERY stat (cheap reductions) so XLA cannot dead-
             # code-eliminate the backward pass, the pairwise stats, or the
