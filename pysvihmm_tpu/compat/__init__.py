@@ -184,8 +184,18 @@ class SVIHMM(_HMMBase):
             tau=tau, kappa=kappa,
         )
 
-    def infer(self, maxit: int = 500, method: str = "auto", seed: int = 0):
+    def infer(self, maxit: int = 500, method: str = "auto", seed: int = 0,
+              restarts: int = 1):
         chain = self.obs[0]
+        if restarts > 1:
+            # vmapped best-of-N seeds, winner by exact full-chain ELBO
+            state, elbos, best = svi.fit_restarts(
+                jax.random.PRNGKey(seed), self.prior, chain, self.emission,
+                self.cfg, maxit, num_restarts=restarts, method=method,
+            )
+            self.params = state.params
+            self.elbo_history.append(float(elbos[best]))
+            return self
         state = svi.init_state(self.params, jax.random.PRNGKey(seed))
         state = state._replace(step=jnp.asarray(len(self.elbo_history), jnp.int32))
         state, metrics = svi.fit(

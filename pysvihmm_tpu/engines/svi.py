@@ -83,11 +83,13 @@ def init_state(
 def _nat_flat(params: HMMParams) -> jax.Array:
     """Flatten global params in NATURAL coordinates (where the conjugate SVI
     update is linear) for the adaptive-step moment estimates."""
-    from ..distributions.niw import NIW, to_natural
+    from ..distributions import diag_gaussian, niw
 
     leaves = [params.init, params.trans]
-    if isinstance(params.emit, NIW):
-        leaves += list(to_natural(params.emit))
+    if isinstance(params.emit, niw.NIW):
+        leaves += list(niw.to_natural(params.emit))
+    elif isinstance(params.emit, diag_gaussian.NIG):
+        leaves += list(diag_gaussian.to_natural(params.emit))
     else:
         leaves.append(params.emit)
     return jnp.concatenate([jnp.ravel(x) for x in leaves])
@@ -245,6 +247,43 @@ def fit_minibatch(
 
     final, metrics = jax.lax.scan(body, state, None, length=num_steps)
     return final, metrics
+
+
+def fit_restarts(
+    key: jax.Array,
+    prior: HMMParams,
+    obs: jax.Array,
+    emission,
+    cfg: SVIConfig,
+    num_steps: int,
+    num_restarts: int = 8,
+    method: str = "auto",
+) -> tuple[SVIState, jax.Array, jax.Array]:
+    """Best-of-N-seeds single-chain SVI, all restarts vmapped in one compile.
+
+    Stochastic trajectories differ both by init and by minibatch sampling
+    path, and like batch VB they can land in merged-state optima. Each
+    restart gets independent init AND sampling keys; the winner is selected
+    by the EXACT full-chain lower bound at the final parameters (one extra
+    full local step per restart — the per-step noisy ELBO is too noisy to
+    rank restarts). Returns (best final state, exact final ELBOs
+    (num_restarts,), best index).
+    """
+    from ..models.hmm import init_params
+    from .base import lower_bound
+
+    def one(k):
+        k_init, k_samp = jax.random.split(k)
+        p0 = init_params(k_init, prior, emission, obs)
+        st0 = init_state(p0, k_samp, adaptive=cfg.adaptive)
+        st, _ = fit(st0, prior, obs, emission, cfg, num_steps, method)
+        elbo = lower_bound(st.params, prior, emission, obs[None], method)
+        return st, elbo
+
+    states, elbos = jax.vmap(one)(jax.random.split(key, num_restarts))
+    best = jnp.argmax(elbos)
+    best_state = jax.tree.map(lambda x: x[best], states)
+    return best_state, elbos, best
 
 
 def select_buffer(

@@ -229,3 +229,34 @@ class TestDiagGaussianSVI:
         zs = decode(state.params, DiagonalGaussianNIG, chain[None])
         err = hamming_error(np.array(zs), np.array(z_true), K)
         assert err < 0.05, f"hamming {err}"
+
+
+class TestSVIRestarts:
+    def test_restarts_dominate_and_select_argmax(self):
+        """fit_restarts: the winning restart's exact ELBO is the argmax, and
+        best-of-8 is at least as good as the plain seed-0 run (the regime
+        from TestDiagGaussianSVI's hard-data cousin where single seeds merge
+        states)."""
+        K, D, T = 4, 2, 2000
+        obs, z_true, _ = gen_gaussian_dataset(
+            jax.random.PRNGKey(15), K, D, 1, T, mean_scale=6.0, cov_scale=0.3
+        )
+        chain = obs[0]
+        prior = make_prior(K, GaussianNIW, obs_dim=D)
+        cfg = svi.SVIConfig(batch_size=16, subchain_len=50, buffer=10,
+                            tau=10.0, kappa=0.6)
+        state, elbos, best = svi.fit_restarts(
+            jax.random.PRNGKey(0), prior, chain, GaussianNIW, cfg,
+            num_steps=300, num_restarts=6,
+        )
+        elbos = np.array(elbos)
+        assert int(best) == int(np.argmax(elbos))
+        from pysvihmm_tpu.engines.base import lower_bound
+
+        got = float(lower_bound(state.params, prior, GaussianNIW, chain[None]))
+        np.testing.assert_allclose(got, elbos[int(best)], rtol=1e-5)
+        # the winner decodes the chain well: single seeds merge states on
+        # this data (hamming ~0.23); the restart winner sits at the data's
+        # irreducible state-overlap level (~0.06)
+        zs = decode(state.params, GaussianNIW, chain[None])
+        assert hamming_error(np.array(zs), np.array(z_true), K) < 0.1
