@@ -42,6 +42,7 @@ class RunConfig:
     checkpoint_dir: str = ""
     checkpoint_every: int = 0
     log_every: int = 10
+    log_path: str = ""  # JSONL metrics file (echoes to stderr regardless)
     dtype: str = "float32"
 
 

@@ -37,7 +37,7 @@ from pysvihmm_tpu.utils.logging import MetricsLogger
 def main(argv=None):
     cfg = parse_config(argv)
     key = jax.random.PRNGKey(cfg.run.seed)
-    log = MetricsLogger()
+    log = MetricsLogger(cfg.run.log_path or None)
 
     emission = resolve_emission(cfg.model.emission)  # raises on unknown names
     if cfg.model.emission == "gaussian":
