@@ -49,8 +49,19 @@ class ShardedSequenceLoader:
         self.rng = np.random.default_rng(seed + pid)
         self.sharding = NamedSharding(mesh, P("data"))
 
+    @classmethod
+    def from_npy(
+        cls, path: str, mesh: Mesh, batch_per_host: int, seed: int = 0
+    ) -> "ShardedSequenceLoader":
+        """Memory-mapped ``.npy`` corpus: the OS pages in only the rows each
+        batch actually touches, so a 1M-sequence file never materializes in
+        host RAM (the fancy-index in ``__iter__`` copies just the batch)."""
+        arr = np.load(path, mmap_mode="r")
+        return cls(lambda s, e: arr[s:e], len(arr), mesh, batch_per_host, seed)
+
     def __iter__(self) -> Iterator[jax.Array]:
         order = self.rng.permutation(len(self.local))
         for i in range(0, len(order) - self.batch_per_host + 1, self.batch_per_host):
-            batch = self.local[order[i : i + self.batch_per_host]]
+            # fancy indexing copies ONLY these rows (memmap shards stay on disk)
+            batch = np.ascontiguousarray(self.local[order[i : i + self.batch_per_host]])
             yield jax.make_array_from_process_local_data(self.sharding, batch)

@@ -175,3 +175,26 @@ class TestShardedLoader:
         assert spans[0][0] == 0 and spans[-1][1] == 103
         for (a, b), (c, d) in zip(spans, spans[1:]):
             assert b == c and b > a
+
+    def test_from_npy_memmap_epoch(self, cpu_devices, tmp_path):
+        """from_npy streams a memory-mapped corpus: the loader's local shard
+        stays a memmap (no full materialization) and an epoch still tiles
+        the corpus exactly."""
+        import numpy as np
+        from pysvihmm_tpu.data.loader import ShardedSequenceLoader
+        from pysvihmm_tpu.parallel import make_mesh
+
+        mesh = make_mesh(8, devices=cpu_devices)
+        corpus = np.arange(48 * 4, dtype=np.float32).reshape(48, 2, 2)
+        path = tmp_path / "corpus.npy"
+        np.save(path, corpus)
+        loader = ShardedSequenceLoader.from_npy(
+            str(path), mesh=mesh, batch_per_host=8
+        )
+        assert isinstance(loader.local.base, np.memmap) or isinstance(
+            loader.local, np.memmap
+        )
+        seen = [np.asarray(b) for b in loader]
+        assert len(seen) == 6
+        got = np.sort(np.concatenate(seen).reshape(48, -1)[:, 0])
+        np.testing.assert_array_equal(got, np.sort(corpus.reshape(48, -1)[:, 0]))
