@@ -70,3 +70,49 @@ def save_step(directory: str, step: int, state: Any, prefix: str = "ckpt_", keep
     for s in sorted(steps)[:-keep]:
         os.remove(os.path.join(directory, f"{prefix}{s}.msgpack"))
     return path
+
+
+class OrbaxCheckpointer:
+    """Orbax-backed step-numbered checkpointing (production/multi-host tier).
+
+    Same role as :func:`save_step` / :func:`latest_step_path` / :func:`restore`
+    but via ``orbax.checkpoint.CheckpointManager``: async writes, atomic
+    finalization, retention, and multi-host coordination (every process
+    participates in the save; Orbax elects the writers) — use this tier on
+    pod slices, the msgpack tier for single-host runs and tests.
+
+        ckpt = OrbaxCheckpointer(directory, keep=3)
+        ckpt.save(step, state)            # non-blocking
+        state = ckpt.restore(state_like)  # latest step
+        ckpt.close()                      # drain async writes
+    """
+
+    def __init__(self, directory: str, keep: int = 3):
+        import orbax.checkpoint as ocp
+
+        self._ocp = ocp
+        self._mngr = ocp.CheckpointManager(
+            os.path.abspath(directory),
+            options=ocp.CheckpointManagerOptions(max_to_keep=keep, create=True),
+        )
+
+    def save(self, step: int, state: Any) -> None:
+        self._mngr.save(step, args=self._ocp.args.StandardSave(state))
+
+    def latest_step(self) -> int | None:
+        return self._mngr.latest_step()
+
+    def restore(self, target: Any, step: int | None = None) -> Any:
+        """Restore into the STRUCTURE of ``target`` (a matching pytree of
+        arrays, e.g. a freshly-initialized state). Defaults to latest step."""
+        if step is None:
+            step = self._mngr.latest_step()
+        if step is None:
+            raise FileNotFoundError("no orbax checkpoint found")
+        return self._mngr.restore(
+            step, args=self._ocp.args.StandardRestore(target)
+        )
+
+    def close(self) -> None:
+        self._mngr.wait_until_finished()
+        self._mngr.close()
