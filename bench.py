@@ -120,7 +120,7 @@ def bench_oracle(n_seq=2):
 
 
 def main():
-    method = sys.argv[1] if len(sys.argv) > 1 else "pallas"
+    method = sys.argv[1] if len(sys.argv) > 1 else "auto"
     batch = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
     jax_sps, jax_dt = bench_jax(batch=batch, method=method)
     orc_sps, orc_dt = bench_oracle()

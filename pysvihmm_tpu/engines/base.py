@@ -51,9 +51,10 @@ def batch_local_step(
     method="pallas" runs the fused lane-packed kernels
     (messages/pallas_fb.py) with packed emission stats; "pallas_fused" runs
     the fully-fused kernels (likelihood matmul and emission stats
-    in-kernel). "auto" (default) resolves to pallas on TPU and scan
-    elsewhere; other methods batch via messages.e_step_batched (vmapped,
-    each scan step a (B, K) @ (K, K) MXU matmul).
+    in-kernel). "auto" (default) resolves to pallas_fused on TPU (the
+    measured-fastest path — BASELINE.md) and scan elsewhere; other methods
+    batch via messages.e_step_batched (vmapped, each scan step a
+    (B, K) @ (K, K) MXU matmul).
     """
     method = messages.resolve_method(method, time_len=obs.shape[1])
     B, T = obs.shape[0], obs.shape[1]
@@ -161,6 +162,19 @@ def _unpack_emit_stats(emission, emit_params, S):
     return emission.unpack_flat_stats(emit_params, S)
 
 
+def _fused_tiles_override():
+    """Optional (row_tile, time_tile) override for the fused kernels from
+    PYSVIHMM_FUSED_TILES="512,8" — a tuning knob for bench sweeps; the
+    default (None) lets pallas_fb._choose_tiles_fused pick."""
+    import os
+
+    s = os.environ.get("PYSVIHMM_FUSED_TILES")
+    if not s:
+        return None
+    a, b = s.split(",")
+    return (int(a), int(b))
+
+
 def _pallas_fused_estep(params, emission, obs, weights=None, need_gamma=True):
     """Fully-fused kernel E-step (likelihoods + FB + all stats in-kernel).
 
@@ -193,6 +207,7 @@ def _pallas_fused_estep(params, emission, obs, weights=None, need_gamma=True):
         feats,
         weights=w_tm,
         emit_gamma=need_gamma,
+        tiles=_fused_tiles_override(),
         interpret=not on_tpu(),
     )
     return fb, _unpack_emit_stats(emission, params.emit, S)

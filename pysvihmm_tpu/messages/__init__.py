@@ -60,20 +60,23 @@ def e_step_grad(
 
 def _pallas_time_tileable(T: int) -> bool:
     """True when the fused kernels' tiler (pallas_fb._choose_tiles) can pick
-    a bounded (<= 32-step) time tile for this chain length: either the whole
-    axis is short, or T has a divisor in [2, 32]. A prime-ish T would force
-    the kernels to statically unroll the entire time axis (Mosaic compile
-    blow-up), so "auto" avoids pallas for such shapes."""
-    return T <= 32 or any(T % c == 0 for c in range(2, 33))
+    a bounded (<= 32-step) MOSAIC-LEGAL time tile for this chain length:
+    either the whole axis is short (C = T, always tiling-legal), or T has a
+    multiple-of-8 divisor in [8, 32] (Mosaic requires the time tile to be a
+    multiple of 8 unless it spans the whole axis). Anything else (T = 70,
+    100, any prime) would force the kernels to statically unroll the entire
+    time axis (compile blow-up), so "auto" avoids pallas for such shapes."""
+    return T <= 32 or any(T % c == 0 for c in (8, 16, 24, 32))
 
 
 def resolve_method(method: str, time_len: int | None = None) -> str:
     """Resolve the user-facing ``method="auto"`` to a concrete E-step path.
 
-    On a TPU backend the fused Pallas kernels are the production path
-    (~1.5x the scan path at the benchmark shape — BASELINE.md); everywhere
-    else they would run under the slow Pallas interpreter, so "auto" picks
-    the `lax.scan` path. When ``time_len`` is given, "auto" also falls back
+    On a TPU backend the fully-fused Pallas kernels ("pallas_fused":
+    likelihood matmul + FB + emission stats in-kernel) are the production
+    path (~2.1x the scan path at the benchmark shape — BASELINE.md);
+    everywhere else they would run under the slow Pallas interpreter, so
+    "auto" picks the `lax.scan` path. When ``time_len`` is given, "auto" also falls back
     to scan for chain lengths the kernel tiler cannot tile (see
     :func:`_pallas_time_tileable`) — engines that can pad their windows to a
     multiple of 8 do so *before* this check (svi/metaobs ``make_step``).
@@ -92,7 +95,7 @@ def resolve_method(method: str, time_len: int | None = None) -> str:
             return "scan"
         if time_len is not None and not _pallas_time_tileable(time_len):
             return "scan"
-        return os.environ.get("PYSVIHMM_ESTEP_METHOD", "pallas")
+        return os.environ.get("PYSVIHMM_ESTEP_METHOD", "pallas_fused")
     return method
 
 
@@ -108,10 +111,17 @@ def e_step_batched(
     Contract: gamma (B, T, K), log_z (B,), log_c (B, T), init_stats (B, K)
     per sequence; trans_stats ALWAYS summed over the batch, shape (K, K)
     (what every global update consumes). method="pallas" runs the fused
-    TPU kernels (interpreted off-TPU); "auto" (default) resolves to pallas
-    on TPU and scan elsewhere; other methods vmap :func:`e_step`.
+    TPU kernels (interpreted off-TPU); "auto" (default) resolves to the
+    kernels on TPU and scan elsewhere ("pallas_fused" downgrades to
+    "pallas" here — likelihoods are already materialized at this entry
+    point); other methods vmap :func:`e_step`.
     """
     method = resolve_method(method, time_len=log_lik.shape[1])
+    if method == "pallas_fused":
+        # the fully-fused kernels need emission params to build likelihoods
+        # in-kernel; here likelihoods are already materialized, so the
+        # split pallas path is the fast equivalent (engines/base.py fuses).
+        method = "pallas"
     if method == "pallas":
         from .pallas_fb import on_tpu, pallas_forward_backward_batched
 

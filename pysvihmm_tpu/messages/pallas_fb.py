@@ -531,33 +531,50 @@ def _choose_tiles(R: int, T: int, PK: int, budget_bytes: int = 2 * 1024 * 1024,
     # block is safe and keeps the grid-cell count low.
     block_budget = budget_bytes // elem_bytes  # elems per (C, tile_r) block
 
+    # Mosaic's tiling rule for the (P, C, tile_r) scale blocks: the last
+    # two block dims must be (multiple of 8, multiple of 128) OR equal the
+    # whole array dim. So every candidate here is C a multiple of 8 (or
+    # C == T, the whole-axis fallback) and tile_r a multiple of 128 (or
+    # tile_r == R). Anything else fails TPU lowering (caught for real:
+    # T = 1000 with a hand-passed C = 20 tile).
+    rows = [t for t in ([R] if R <= 1024 else []) + [128 * k for k in range(8, 0, -1)]
+            if t <= R and R % t == 0]
+    rows = sorted(set(rows), reverse=True) or [R]  # R > 1024, no 128-mult divisor
+
     def time_tile(tr):
         cap = 8 * (block_budget // tr // 8)
         for cand in range(min(cap, T - T % 8, 32), 0, -8):
             if T % cand == 0:
                 return cand
-        # no multiple-of-8 divisor (e.g. T = 70, 100): any divisor <= 32
-        # keeps the static unroll bounded (C is the block's outer dim, so
-        # the sublane tiling rule constrains tile_r, not C)
-        for cand in range(min(cap, 32), 1, -1):
-            if T % cand == 0:
-                return cand
         return 0
 
-    tile_r = min(R, 1024)
-    while R % tile_r:
-        tile_r //= 2
-    tile_r = max(tile_r, 1)
-    C = time_tile(tile_r)
-    while C == 0 and tile_r > 1:
-        tile_r //= 2
+    for tile_r in rows:
         C = time_tile(tile_r)
-    if C == 0:
-        # tiny T with no multiple-of-8 divisor: whole time axis in one block
-        while tile_r > 1 and 4 * tile_r * T * elem_bytes > 10 * 1024 * 1024:
-            tile_r //= 2
-        C = T
-    return tile_r, C
+        if C:
+            return tile_r, C
+    # no multiple-of-8 divisor of T (e.g. T = 70, 31): whole time axis in
+    # one block — always tiling-legal; the static in-kernel unroll is T
+    # steps, so resolve_method routes big awkward T to scan ("auto") and
+    # only explicit pallas requests land here for T > 32.
+    for tile_r in rows:
+        if 4 * tile_r * T * elem_bytes <= 10 * 1024 * 1024:
+            return tile_r, T
+    return rows[-1], T
+
+
+def _check_tiles(tile_r: int, C: int, R: int, T: int, explicit: bool):
+    """Validate a (row_tile, time_tile) pair against divisibility, Mosaic's
+    tiling rule, and the static-unroll bound (hand-passed tiles only)."""
+    if R % tile_r or T % C:
+        raise ValueError(f"tiles {(tile_r, C)} must divide (R={R}, T={T})")
+    if (C % 8 and C != T) or (tile_r % 128 and tile_r != R):
+        raise ValueError(
+            f"tiles {(tile_r, C)} are not Mosaic-tiling-legal: the time tile "
+            f"must be a multiple of 8 (or exactly T={T}), the row tile a "
+            f"multiple of 128 (or exactly R={R})"
+        )
+    if explicit and C > 32 and C != T:
+        raise ValueError(f"time_tile {C} > 32: statically unrolled in-kernel")
 
 
 def _choose_tiles_fused(R: int, T: int, PK: int, PF: int):
@@ -666,10 +683,7 @@ def pallas_estep_fused(
     feats_p = feats.reshape(T, R, PF)
 
     tile_r, C = tiles if tiles is not None else _choose_tiles_fused(R, T, PK, PF)
-    if R % tile_r or T % C:
-        raise ValueError(f"tiles {(tile_r, C)} must divide (R={R}, T={T})")
-    if tiles is not None and C > 32:
-        raise ValueError(f"time_tile {C} > 32: statically unrolled in-kernel")
+    _check_tiles(tile_r, C, R, T, explicit=tiles is not None)
     nR, nT = R // tile_r, T // C
     m = RENORM if C % RENORM == 0 else 1
 
@@ -883,13 +897,10 @@ def pallas_forward_backward_batched(
     lik = lik_tm.reshape(T, R, PK)
 
     tile_r, C = tiles if tiles is not None else _choose_tiles(R, T, PK)
-    if R % tile_r or T % C:
-        raise ValueError(f"tiles {(tile_r, C)} must divide (R={R}, T={T})")
-    if tiles is not None and C > 32:
-        # the kernels unroll the time tile statically; beyond ~32 steps the
-        # Mosaic compile blows up (auto-tiling may exceed this only for tiny
-        # T with no multiple-of-8 divisor, where the whole axis is one tile)
-        raise ValueError(f"time_tile {C} > 32: statically unrolled in-kernel")
+    # the kernels unroll the time tile statically; beyond ~32 steps the
+    # Mosaic compile blows up (auto-tiling exceeds this only for awkward T
+    # with no multiple-of-8 divisor, where the whole axis is one tile)
+    _check_tiles(tile_r, C, R, T, explicit=tiles is not None)
     nR, nT = R // tile_r, T // C
     m = RENORM if C % RENORM == 0 else 1
 

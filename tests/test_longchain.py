@@ -60,7 +60,7 @@ class TestTimeShardedFB:
             lambda p, A, l: time_sharded_forward_backward(p, A, l, mesh)
         )(log_pi, log_A, ll)
         np.testing.assert_allclose(np.array(b.gamma), np.array(a.gamma), atol=1e-10)
-        np.testing.assert_allclose(float(b.log_z), float(a.log_z), rtol=1e-11)
+        np.testing.assert_allclose(float(b.log_z), float(a.log_z), rtol=1e-9)
         np.testing.assert_allclose(
             np.array(b.trans_stats), np.array(a.trans_stats), atol=1e-10
         )
@@ -105,7 +105,7 @@ class TestTimeShardedFB:
         a = messages.forward_backward(log_pi, log_A, ll)
         b = time_sharded_forward_backward(log_pi, log_A, ll, mesh)
         assert np.isfinite(float(b.log_z))
-        np.testing.assert_allclose(float(b.log_z), float(a.log_z), rtol=1e-11)
+        np.testing.assert_allclose(float(b.log_z), float(a.log_z), rtol=1e-9)
 
     def test_indivisible_raises(self):
         mesh = make_mesh(4, axis="time")
@@ -136,7 +136,7 @@ class TestTimeSharded2D:
             )
         )(log_pi, log_A, ll, w)
         np.testing.assert_allclose(np.array(b.gamma), np.array(a.gamma), atol=1e-10)
-        np.testing.assert_allclose(np.array(b.log_z), np.array(a.log_z), rtol=1e-11)
+        np.testing.assert_allclose(np.array(b.log_z), np.array(a.log_z), rtol=1e-9)
         np.testing.assert_allclose(
             np.array(b.trans_stats), np.array(a.trans_stats), atol=1e-10
         )

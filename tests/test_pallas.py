@@ -111,20 +111,44 @@ class TestPallasFB:
         assert resolve_method("pallas") == "pallas"  # explicit passes through
         assert resolve_method("blocked") == "blocked"
         monkeypatch.setattr(pallas_fb, "on_tpu", lambda: True)
-        assert resolve_method("auto") == "pallas"
-        # shape-aware fallback: a chain length with no divisor <= 32 would
-        # force the kernels to statically unroll the whole time axis
-        # (Mosaic compile blow-up), so "auto" picks scan for it
+        # production default on TPU: the fully-fused kernels (measured
+        # fastest — BASELINE.md)
+        assert resolve_method("auto") == "pallas_fused"
+        # shape-aware fallback: a chain length with no Mosaic-legal bounded
+        # time tile (multiple-of-8 divisor <= 32, or whole-axis T <= 32)
+        # would force the kernels to statically unroll the whole time axis
+        # (compile blow-up), so "auto" picks scan for it
         assert resolve_method("auto", time_len=71) == "scan"  # prime
         assert resolve_method("auto", time_len=37 * 41) == "scan"
-        assert resolve_method("auto", time_len=70) == "pallas"  # 70 = 14*5
-        assert resolve_method("auto", time_len=31) == "pallas"  # short axis
+        assert resolve_method("auto", time_len=70) == "scan"  # 14 is illegal
+        assert resolve_method("auto", time_len=80) == "pallas_fused"
+        assert resolve_method("auto", time_len=31) == "pallas_fused"
         # explicit pallas is honored even for awkward lengths
         assert resolve_method("pallas", time_len=71) == "pallas"
         # env override flips what "auto" resolves to on TPU
-        monkeypatch.setenv("PYSVIHMM_ESTEP_METHOD", "pallas_fused")
-        assert resolve_method("auto") == "pallas_fused"
+        monkeypatch.setenv("PYSVIHMM_ESTEP_METHOD", "pallas")
+        assert resolve_method("auto") == "pallas"
         assert resolve_method("auto", time_len=71) == "scan"  # fallback wins
+
+    def test_e_step_batched_downgrades_fused(self, monkeypatch):
+        """e_step_batched takes materialized likelihoods, so a pallas_fused
+        resolution (the TPU "auto" default) downgrades to the split pallas
+        path there instead of erroring."""
+        from pysvihmm_tpu import messages
+        from pysvihmm_tpu.messages import pallas_fb
+
+        monkeypatch.setattr(pallas_fb, "on_tpu", lambda: False)
+        rng = np.random.default_rng(0)
+        B, T, K = 4, 16, 4
+        log_pi = jnp.array(np.log(rng.dirichlet(np.ones(K))), jnp.float32)
+        log_A = jnp.array(np.log(rng.dirichlet(np.ones(K), size=K)), jnp.float32)
+        ll = jnp.array(rng.normal(size=(B, T, K)), jnp.float32)
+        a = messages.e_step_batched(log_pi, log_A, ll, method="pallas_fused")
+        b = messages.e_step_batched(log_pi, log_A, ll, method="scan")
+        np.testing.assert_allclose(np.array(a.gamma), np.array(b.gamma), atol=1e-5)
+        np.testing.assert_allclose(
+            np.array(a.trans_stats), np.array(b.trans_stats), rtol=2e-5, atol=1e-6
+        )
 
     def test_engine_default_method_end_to_end(self):
         """batch_local_step with its default method agrees with explicit scan."""

@@ -76,6 +76,52 @@ class TestTPULowering:
         )
 
 
+class TestTPULoweringAwkwardT:
+    """Chain lengths whose tiling is non-trivial. Mosaic's rule: the last
+    two block dims must be (multiple of 8, multiple of 128) or equal the
+    whole array dim — so the tiler must never pick a ragged time tile
+    (caught for real: T=1000 with a hand-passed C=20 tile, and T=70 whose
+    only divisors <= 32 are ragged, both failed TPU lowering while passing
+    interpret-mode tests)."""
+
+    def test_fused_T70_whole_axis(self):
+        # no multiple-of-8 divisor <= 32: the tiler takes the whole time
+        # axis as one (legal) block; "auto" routes this T to scan, but an
+        # explicit pallas request must still compile
+        feats = jax.ShapeDtypeStruct((70, B, F), jnp.float32)
+        _lowers(
+            lambda p, A, W, f: pallas_estep_fused(p, A, W, f, emit_gamma=False),
+            LOG_PI, LOG_A, WMAT, feats,
+        )
+
+    def test_split_T20_short_whole_axis(self):
+        ll = jax.ShapeDtypeStruct((20, B, K), jnp.float32)
+        _lowers(
+            lambda p, A, l: pallas_forward_backward_batched(
+                p, A, l, time_major=True, packed_gamma=True
+            ),
+            LOG_PI, LOG_A, ll,
+        )
+
+    def test_fused_T40_legal_tile(self):
+        # 8 divides 40: a bounded multiple-of-8 tile exists and is chosen
+        feats = jax.ShapeDtypeStruct((40, B, F), jnp.float32)
+        _lowers(
+            lambda p, A, W, f: pallas_estep_fused(p, A, W, f, emit_gamma=False),
+            LOG_PI, LOG_A, WMAT, feats,
+        )
+
+    def test_explicit_ragged_tiles_rejected(self):
+        # a hand-passed Mosaic-illegal tile raises a clear error instead of
+        # failing deep inside TPU lowering
+        feats = jnp.zeros((1000, B, F), jnp.float32)
+        with pytest.raises(ValueError, match="Mosaic-tiling-legal"):
+            pallas_estep_fused(
+                LOG_PI, LOG_A, jnp.zeros((F, K), jnp.float32), feats,
+                emit_gamma=False, tiles=(B // 2, 20), interpret=True,
+            )
+
+
 class TestTPULoweringDiagFamily:
     """Feature width 1 + 2D (DiagonalGaussianNIG) lowers via Mosaic too —
     a narrower, non-NIW lane packing of the fused kernels."""
