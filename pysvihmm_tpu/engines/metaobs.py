@@ -53,16 +53,9 @@ def make_step(emission, cfg: MetaObsConfig, chain_len: int, method: str = "auto"
     num_blocks = T // Lm
     if M > num_blocks:
         raise ValueError("minibatch larger than number of meta-observations")
-    W = Lm + 2 * b
-    b_left = b
-    if messages.resolve_method(method) == "pallas" and W < T:
-        # round the window up to a multiple of 8 so the fused kernels get a
-        # clean time tile (same policy as engines/svi.make_step); the extra
-        # steps are pure additional buffer
-        pad = min(-W % 8, T - W)
-        b_left += pad // 2
-        W += pad
-    method = messages.resolve_method(method, time_len=W)
+    # shared window planner (messages.plan_window): multiple-of-8 rounding
+    # for the pallas paths, then "auto" resolution against the final W
+    method, W, b_left = messages.plan_window(method, Lm, b, T)
 
     scale_trans = (T - 1.0) / (M * max(Lm - 1, 1))
     scale_emit = num_blocks / M

@@ -125,19 +125,9 @@ def make_step(emission, cfg: SVIConfig, chain_len: int, method: str = "auto"):
     """
     B, L, b = cfg.batch_size, cfg.subchain_len, cfg.buffer
     T = chain_len
-    W = L + 2 * b
-    b_left = b
-    if messages.resolve_method(method) == "pallas" and W < T:
-        # round the window up to a multiple of 8 so the fused kernels get a
-        # clean time tile (otherwise the tiler falls back to unrolling the
-        # whole window); the extra steps are pure additional buffer, which
-        # only improves the kept-region boundary messages
-        pad = min(-W % 8, T - W)
-        b_left += pad // 2
-        W += pad
-    # re-resolve against the final window length: "auto" falls back to scan
-    # when no bounded time tile exists (e.g. prime W == T, un-paddable)
-    method = messages.resolve_method(method, time_len=W)
+    # shared window planner: pads W to a multiple of 8 for the pallas paths
+    # (extra steps = more buffer) and resolves "auto" against the final W
+    method, W, b_left = messages.plan_window(method, L, b, T)
     if W > T:
         raise ValueError(f"window {W} longer than chain {T}")
     num_starts = T - L + 1

@@ -99,6 +99,30 @@ def resolve_method(method: str, time_len: int | None = None) -> str:
     return method
 
 
+def plan_window(method: str, keep_len: int, buffer: int, chain_len: int):
+    """Resolve the E-step method + window geometry for a windowed engine.
+
+    Single source of truth for svi/metaobs/data-parallel ``make_step``: when
+    the resolved path is one of the Pallas kernels ("pallas" or
+    "pallas_fused"), round the window W = keep_len + 2*buffer up to a
+    multiple of 8 so the kernels' tiler gets a clean time tile (otherwise it
+    would statically unroll the window); the extra steps are pure additional
+    buffer, which only improves the kept-region boundary messages. The method
+    is then re-resolved against the final W — "auto" falls back to scan when
+    no bounded time tile exists (e.g. prime W == T, un-paddable).
+
+    Returns (resolved_method, W, b_left) where b_left is the buffer length
+    on the left side of the kept region after padding.
+    """
+    W = keep_len + 2 * buffer
+    b_left = buffer
+    if resolve_method(method) in ("pallas", "pallas_fused") and W < chain_len:
+        pad = min(-W % 8, chain_len - W)
+        b_left += pad // 2
+        W += pad
+    return resolve_method(method, time_len=W), W, b_left
+
+
 def e_step_batched(
     log_pi: jax.Array,
     log_A: jax.Array,
@@ -180,4 +204,6 @@ __all__ = [
     "e_step",
     "e_step_batched",
     "e_step_grad",
+    "plan_window",
+    "resolve_method",
 ]

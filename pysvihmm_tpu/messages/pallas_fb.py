@@ -559,15 +559,33 @@ def _choose_tiles(R: int, T: int, PK: int, budget_bytes: int = 2 * 1024 * 1024,
     for tile_r in rows:
         if 4 * tile_r * T * elem_bytes <= 10 * 1024 * 1024:
             return tile_r, T
+    if T > 32:
+        # No bounded tile exists (awkward R with no 128-multiple divisor AND
+        # no whole-axis tile under the VMEM budget): a C = T > 32 block would
+        # statically unroll the whole time axis in-kernel — exactly the
+        # compile blowup the tiler guards against. Fail loudly; callers that
+        # want a fallback should route through resolve_method("auto"), which
+        # avoids pallas for untileable shapes.
+        raise ValueError(
+            f"no bounded Mosaic-legal time tile for R={R}, T={T} "
+            f"(PK={PK}): pad T to a multiple of 8 or use method='scan'"
+        )
     return rows[-1], T
 
 
-def _check_tiles(tile_r: int, C: int, R: int, T: int, explicit: bool):
+def _check_tiles(
+    tile_r: int, C: int, R: int, T: int, explicit: bool, interpret: bool = False
+):
     """Validate a (row_tile, time_tile) pair against divisibility, Mosaic's
-    tiling rule, and the static-unroll bound (hand-passed tiles only)."""
+    tiling rule, and the static-unroll bound (hand-passed tiles only).
+
+    The Mosaic legality rule applies only when actually lowering to TPU
+    (interpret=False): the pallas interpreter has no tiling constraints, and
+    interpret-mode tests deliberately exercise multi-row-tile grids at small
+    R (e.g. tiles (2, 16) at R=4) to cover the grid arithmetic."""
     if R % tile_r or T % C:
         raise ValueError(f"tiles {(tile_r, C)} must divide (R={R}, T={T})")
-    if (C % 8 and C != T) or (tile_r % 128 and tile_r != R):
+    if not interpret and ((C % 8 and C != T) or (tile_r % 128 and tile_r != R)):
         raise ValueError(
             f"tiles {(tile_r, C)} are not Mosaic-tiling-legal: the time tile "
             f"must be a multiple of 8 (or exactly T={T}), the row tile a "
@@ -683,7 +701,7 @@ def pallas_estep_fused(
     feats_p = feats.reshape(T, R, PF)
 
     tile_r, C = tiles if tiles is not None else _choose_tiles_fused(R, T, PK, PF)
-    _check_tiles(tile_r, C, R, T, explicit=tiles is not None)
+    _check_tiles(tile_r, C, R, T, explicit=tiles is not None, interpret=interpret)
     nR, nT = R // tile_r, T // C
     m = RENORM if C % RENORM == 0 else 1
 
@@ -900,7 +918,7 @@ def pallas_forward_backward_batched(
     # the kernels unroll the time tile statically; beyond ~32 steps the
     # Mosaic compile blows up (auto-tiling exceeds this only for awkward T
     # with no multiple-of-8 divisor, where the whole axis is one tile)
-    _check_tiles(tile_r, C, R, T, explicit=tiles is not None)
+    _check_tiles(tile_r, C, R, T, explicit=tiles is not None, interpret=interpret)
     nR, nT = R // tile_r, T // C
     m = RENORM if C % RENORM == 0 else 1
 

@@ -37,10 +37,23 @@ from .. import messages
 from ..utils.precision import f32_matmuls
 
 
+def default_devices():
+    """Devices on the platform computations will actually run on.
+
+    Honors an explicitly configured ``jax_default_device`` (the test harness
+    pins CPU while a TPU plugin is registered — a bare ``jax.devices()``
+    would silently build 1-device TPU meshes there, making every
+    "multi-device" test vacuous); otherwise the default backend's devices.
+    """
+    dd = jax.config.jax_default_device
+    platform = getattr(dd, "platform", None)
+    return jax.devices(platform) if platform else jax.devices()
+
+
 def make_mesh(num_devices: int | None = None, devices=None, axis: str = "data") -> Mesh:
-    """1-D data mesh over the given (or all) devices."""
+    """1-D data mesh over the given (or all default-platform) devices."""
     if devices is None:
-        devices = jax.devices()
+        devices = default_devices()
     if num_devices is not None:
         devices = devices[:num_devices]
     return Mesh(np.array(devices), (axis,))
@@ -181,15 +194,9 @@ def make_dp_metaobs_step(emission, cfg, chain_len: int, mesh: Mesh,
     if M % n_dev != 0:
         raise ValueError(f"minibatch {M} not divisible by mesh size {n_dev}")
     M_local = M // n_dev
-    W = Lm + 2 * b
-    b_left = b
-    if messages.resolve_method(method) == "pallas" and W < T:
-        # multiple-of-8 window rounding for the fused kernels' time tiler
-        # (same policy as engines/svi.make_step; extra steps = more buffer)
-        pad = min(-W % 8, T - W)
-        b_left += pad // 2
-        W += pad
-    method = messages.resolve_method(method, time_len=W)
+    # shared window planner (messages.plan_window): multiple-of-8 rounding
+    # for the pallas paths, then "auto" resolution against the final W
+    method, W, b_left = messages.plan_window(method, Lm, b, T)
 
     scale_trans = (T - 1.0) / (M * max(Lm - 1, 1))
     scale_emit = num_blocks / M

@@ -59,6 +59,10 @@ class TestTimeShardedFB:
         b = jax.jit(
             lambda p, A, l: time_sharded_forward_backward(p, A, l, mesh)
         )(log_pi, log_A, ll)
+        # f64 but NOT bit-exact: the sharded path sums per-shard partial
+        # log-normalizers / stats in a different reduction order than the
+        # sequential scan, so ~1e-12-relative jitter is inherent; tolerances
+        # sit >=100x above the observed error, not at the float boundary
         np.testing.assert_allclose(np.array(b.gamma), np.array(a.gamma), atol=1e-10)
         np.testing.assert_allclose(float(b.log_z), float(a.log_z), rtol=1e-9)
         np.testing.assert_allclose(
@@ -124,7 +128,11 @@ class TestTimeSharded2D:
             time_sharded_forward_backward_batched,
         )
 
-        mesh = Mesh(np.array(jax.devices()[: db * dt]).reshape(db, dt), ("data", "time"))
+        from pysvihmm_tpu.parallel.data_parallel import default_devices
+
+        mesh = Mesh(
+            np.array(default_devices()[: db * dt]).reshape(db, dt), ("data", "time")
+        )
         log_pi = jnp.array(np.log(rng.dirichlet(np.ones(K))))
         log_A = jnp.array(np.log(rng.dirichlet(np.ones(K), size=K)))
         ll = jnp.array(rng.normal(size=(B, T, K)) * 2.0)
@@ -268,7 +276,10 @@ class TestTimeShardedEngine:
         _, ts_elbos = fit_long_chain(
             p0, prior, obs[0], MultinomialDirichlet, mesh, num_iters=10
         )
-        np.testing.assert_allclose(np.array(ts_elbos), np.array(ref_elbos), rtol=2e-5)
+        # f32 trajectories accumulated in different reduction orders across
+        # 8 shards: observed ~2e-5 relative drift after 10 iters; 1e-4 keeps
+        # the margin >=4x off the observed error (VERDICT r1 item 5)
+        np.testing.assert_allclose(np.array(ts_elbos), np.array(ref_elbos), rtol=1e-4)
 
 
 class TestBlockedFBEdge:

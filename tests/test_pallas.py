@@ -91,6 +91,15 @@ class TestPallasFB:
         )
         np.testing.assert_allclose(np.array(fb.log_z), np.array(ref.log_z), rtol=2e-6)
 
+    def test_untileable_rows_raise(self):
+        """R > 1024 with no 128-multiple divisor and an over-budget whole-T
+        tile must fail loudly instead of silently unrolling T steps
+        in-kernel (ADVICE r1: _choose_tiles fallback compile blowup)."""
+        from pysvihmm_tpu.messages.pallas_fb import _choose_tiles
+
+        with pytest.raises(ValueError, match="no bounded"):
+            _choose_tiles(1030, 1000, 128)
+
     def test_stats_sum_properties(self):
         log_pi, log_A, ll = problem(4, 40, 6)
         fb = pallas_forward_backward_batched(log_pi, log_A, ll, interpret=True)

@@ -16,6 +16,71 @@ from pysvihmm_tpu.eval.metrics import hamming_error
 from pysvihmm_tpu.models.hmm import init_params, make_prior
 
 
+class TestWindowPlanning:
+    """Regression for the round-1 flagship bug: on TPU, "auto" resolves to
+    "pallas_fused", and the default SVI window (L=50, b=10 -> W=70, not a
+    multiple of 8) must be PADDED to W=72 so the fused kernels run — not
+    silently fall back to scan (VERDICT.md round 1, item 1)."""
+
+    def test_auto_on_tpu_pads_default_window_to_fused(self, monkeypatch):
+        from pysvihmm_tpu import messages
+        from pysvihmm_tpu.messages import pallas_fb
+
+        monkeypatch.setattr(pallas_fb, "on_tpu", lambda: True)
+        monkeypatch.delenv("PYSVIHMM_ESTEP_METHOD", raising=False)
+        method, W, b_left = messages.plan_window("auto", 50, 10, 10_000)
+        assert method == "pallas_fused"
+        assert W == 72  # 70 rounded up to a multiple of 8
+        assert b_left == 11  # extra pad split onto the left buffer
+
+    def test_auto_on_tpu_pads_for_explicit_pallas_env(self, monkeypatch):
+        from pysvihmm_tpu import messages
+        from pysvihmm_tpu.messages import pallas_fb
+
+        monkeypatch.setattr(pallas_fb, "on_tpu", lambda: True)
+        monkeypatch.setenv("PYSVIHMM_ESTEP_METHOD", "pallas")
+        method, W, _ = messages.plan_window("auto", 50, 10, 10_000)
+        assert method == "pallas"
+        assert W == 72
+
+    def test_auto_off_tpu_resolves_scan_unpadded(self, monkeypatch):
+        from pysvihmm_tpu import messages
+        from pysvihmm_tpu.messages import pallas_fb
+
+        monkeypatch.setattr(pallas_fb, "on_tpu", lambda: False)
+        method, W, b_left = messages.plan_window("auto", 50, 10, 10_000)
+        assert method == "scan"
+        assert W == 70
+        assert b_left == 10
+
+    def test_unpaddable_window_falls_back_to_scan(self, monkeypatch):
+        # W == T leaves no room to pad; a 70-step whole-chain window has no
+        # bounded Mosaic-legal time tile, so "auto" must land on scan
+        from pysvihmm_tpu import messages
+        from pysvihmm_tpu.messages import pallas_fb
+
+        monkeypatch.setattr(pallas_fb, "on_tpu", lambda: True)
+        monkeypatch.delenv("PYSVIHMM_ESTEP_METHOD", raising=False)
+        method, W, _ = messages.plan_window("auto", 50, 10, 70)
+        assert method == "scan"
+        assert W == 70
+
+    def test_make_step_runs_with_padded_window(self):
+        # end-to-end: the default config (W=70) goes through make_step's
+        # plan_window path and still produces a correct update off-TPU
+        K, D, T = 3, 2, 400
+        obs, _, _ = gen_gaussian_dataset(jax.random.PRNGKey(0), K, D, 1, T)
+        chain = obs[0]
+        prior = make_prior(K, GaussianNIW, obs_dim=D)
+        params = init_params(jax.random.PRNGKey(1), prior, GaussianNIW, chain[None])
+        cfg = svi.SVIConfig(batch_size=4, subchain_len=50, buffer=10)
+        step = svi.make_step(GaussianNIW, cfg, T, method="pallas")
+        st = svi.init_state(params, jax.random.PRNGKey(2))
+        st2, metrics = step(st, prior, chain)
+        assert jnp.isfinite(metrics["noisy_elbo"])
+        assert int(st2.step) == 1
+
+
 class TestScalingUnbiasedness:
     def test_subchain_stats_unbiased(self, enable_x64):
         """Averaged over many minibatches at fixed params, the scaled SVI
