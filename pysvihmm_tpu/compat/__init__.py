@@ -172,9 +172,12 @@ class SVIHMM(_HMMBase):
         super().__init__(obs, K, **kw)
         if self.obs.shape[0] != 1:
             raise ValueError("SVIHMM expects a single long chain; use MinibatchSVIHMM for sequence collections")
-        if buffer == "auto":
+        self._auto_buffer = buffer == "auto"
+        if self._auto_buffer:
             # paper §3.2 adaptive buffering: doubling test at the current
-            # (initial) variational params
+            # (initial) variational params; re-selected during infer() when
+            # rebuffer_every is set (the paper adapts b to the CURRENT
+            # params, which sharpen as the fit progresses)
             buffer = svi.select_buffer(
                 self.params, self.obs[0], self.emission, subchain_len,
                 jax.random.PRNGKey(0),
@@ -185,7 +188,15 @@ class SVIHMM(_HMMBase):
         )
 
     def infer(self, maxit: int = 500, method: str = "auto", seed: int = 0,
-              restarts: int = 1):
+              restarts: int = 1, rebuffer_every: int | None = None):
+        """Run maxit SVI steps.
+
+        rebuffer_every: with ``buffer="auto"``, re-run the paper-§3.2
+        doubling test against the CURRENT variational params every this
+        many steps and continue with the newly selected buffer (the
+        natural-gradient schedule state carries across segments; each
+        buffer change recompiles the step). Ignored for fixed buffers.
+        """
         chain = self.obs[0]
         if restarts > 1:
             # vmapped best-of-N seeds, winner by exact full-chain ELBO
@@ -198,11 +209,25 @@ class SVIHMM(_HMMBase):
             return self
         state = svi.init_state(self.params, jax.random.PRNGKey(seed))
         state = state._replace(step=jnp.asarray(len(self.elbo_history), jnp.int32))
-        state, metrics = svi.fit(
-            state, self.prior, chain, self.emission, self.cfg, maxit, method
-        )
+        segment = maxit if not (self._auto_buffer and rebuffer_every) else rebuffer_every
+        done = 0
+        rekey = jax.random.PRNGKey(seed + 1)
+        while done < maxit:
+            n = min(segment, maxit - done)
+            state, metrics = svi.fit(
+                state, self.prior, chain, self.emission, self.cfg, n, method
+            )
+            self.elbo_history += [float(x) for x in np.asarray(metrics["noisy_elbo"])]
+            done += n
+            if done < maxit:
+                rekey, k = jax.random.split(rekey)
+                b = svi.select_buffer(
+                    state.params, chain, self.emission,
+                    self.cfg.subchain_len, k,
+                )
+                if b != self.cfg.buffer:
+                    self.cfg = self.cfg._replace(buffer=b)
         self.params = state.params
-        self.elbo_history += [float(x) for x in np.asarray(metrics["noisy_elbo"])]
         return self
 
 

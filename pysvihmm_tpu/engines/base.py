@@ -364,7 +364,8 @@ def _packed_emission_stats(
         acc = jax.lax.dot_general(
             g2, f2, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.DEFAULT,  # one-shot bulk sum: bf16
+            # one-shot sum, but full f32: see the Gaussian branch below
+            precision=jax.lax.Precision.HIGHEST,
         )
         return sum(acc[p * K : (p + 1) * K, p * V : (p + 1) * V] for p in range(P))
 
@@ -376,13 +377,16 @@ def _packed_emission_stats(
     if weights_tm is not None:
         feats = feats * weights_tm[..., None]
     f2 = feats.reshape(T * R, P * F)
-    # one-shot bulk sum over ~1e6 (t, b) terms: per-term bf16 rounding is
-    # sign-symmetric and averages to ~1e-5 relative in the f32 accumulator
-    # (utils/precision.py policy) — full MXU throughput
+    # Full-f32 sum, NOT 1-pass bf16: the y (x) y second moments feed NIW
+    # posteriors whose psi = eta3 - kappa m m^T must stay PSD, and a
+    # rho ~ 1 SVI step amplifies the raw stats by dataset/minibatch scale —
+    # bf16's ~4e-3 per-term rounding (NOT sign-symmetric on the positive
+    # yy-diagonal) broke psi's PSD margin for weak states in real training
+    # (NaN on the second SVI step at K=64/D=8, caught on-chip).
     acc = jax.lax.dot_general(
         g2, f2, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.DEFAULT,
+        precision=jax.lax.Precision.HIGHEST,
     )
     S = sum(acc[p * K : (p + 1) * K, p * F : (p + 1) * F] for p in range(P))
     return _unpack_emit_stats(emission, emit_params, S)

@@ -29,30 +29,36 @@ reduction may sit on the critical path:
     128-lane row with the block-diagonal transition matrix kron(I_P, A~) —
     for K=64 this HALVES the row count (the latency driver) at identical
     math (the off-diagonal blocks are exactly zero).
-  * The forward runs UNNORMALIZED, renormalizing by the FULL-ROW sum only
-    every RENORM=4 steps (a broadcast-multiply whose operand, the previous
-    step's sum, is computed off the critical path). Stored alpha_t is
-    alpha_hat_t * h_t with h_t the per-sequence accumulated scale; the
-    f32 range is safe (|log h| <= 4 |log c| + log P).
-  * The backward carries beta'_t = beta_hat_t / h_t, where beta_hat is the
+  * The forward renormalizes PER SEQUENCE, EVERY step — stored alpha_t is
+    alpha_hat_t * c_t (exactly one step of per-sequence scale), so the f32
+    range only ever holds a single step's decay. Anything laxer is unsound,
+    found the hard way: a full-row renorm lets the scale imbalance between
+    the P lane-packed sequences grow without bound (the smaller sequence
+    underflows within a few hundred steps of real SVI training), and any
+    renorm period > 1 multiplies per-step likelihood decays that routinely
+    reach e^-60 at early-training params. The per-segment reduce + rescale
+    is folded into the LIKELIHOOD operand (alpha/c @ A == (alpha @ A)/c for
+    a per-sequence scalar and block-diagonal A), so it overlaps the chain's
+    MXU matmul instead of extending it — measured cost on the K=64/T=1k
+    headline bench: ~2%.
+  * The backward carries beta'_t = beta_hat_t / c_t, where beta_hat is the
     Rabiner-scaled message (normalized by the forward scaling constants).
-    Three identities make every per-step scale correction vanish:
-      - gamma_t = alpha_raw_t * beta'_t EXACTLY (h_t cancels; the product
+    Three identities make the scale algebra in-kernel-resident:
+      - gamma_t = alpha_raw_t * beta'_t EXACTLY (c_t cancels; the product
         is the normalized smoothed marginal) — a pure mul. In f32 the
-        cancellation drifts by a per-sequence common-mode scalar (~1e-2 at
-        T=1e3), so the kernel renormalizes gamma_t (and the stats-side d_t)
-        by its per-sequence row sum — a VPU reduce off the beta chain —
-        which recovers ~1e-6 marginals (better than the per-step-normalized
-        scan path, which pays T normalization roundings on the chain);
+        cancellation drifts by a per-sequence common-mode scalar, so the
+        kernel renormalizes gamma_t (and the stats-side d_t) by its
+        per-sequence row sum — a VPU reduce off the beta chain — which
+        recovers ~1e-6 marginals;
       - the xi-sum contribution is alpha_raw_{t-1}^T @ d_t with
-        d_t = lik_t * beta'_t exactly, EXCEPT at renorm steps where d
-        picks up the scalar full-row factor 1/q the forward divided out —
-        replayed as one per-row scalar multiply every RENORM steps;
+        d_t = lik_t * beta'_t / c_{t-1}; the 1/c_{t-1} replay factor is the
+        per-sequence inverse sum of the RESIDENT alpha block (off the beta
+        chain), so no replay/seed arrays cross the kernel boundary at all —
+        at tile edges, where alpha_{t-1} lives in the next-visited tile,
+        the factor commutes through the block-diagonal contractions and is
+        applied at consumption (bcarry/dcarry hand over UNREPLAYED values);
       - the chain step is beta'_{t-1} = d_t @ A~^T — mul -> matmul, with
         NO reduce and NO lane crossing on the critical path.
-    The renorm replay factors (T/RENORM, ROWS) and the tiny beta' seed
-    rs_{T-1} are (T, B)-elementwise quantities computed between the two
-    kernels by XLA from the segmented alpha sums (~8 MB, negligible).
 
 The pallas path returns trans_stats ALREADY SUMMED over sequences, shape
 (K, K) — exactly what the engines' global updates consume.
@@ -72,8 +78,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .scan_fb import FBResult, _normalize_loglik
 
-RENORM = 4  # forward full-row renormalization period
 LANES = 128  # MXU/VPU lane width
+SUM_FLOOR = 1e-38  # per-sequence sum floor: a fully-underflowed window
+# degrades to zero stats instead of poisoning the batch with NaN
 
 
 def on_tpu() -> bool:
@@ -91,7 +98,7 @@ def on_tpu() -> bool:
 
 
 def _seg_shift_exp(l, K):
-    """exp(l - per-sequence max), (R, PK) -> (R, PK), all VPU off-chain.
+    """exp(l - per-sequence max), (..., PK) -> (..., PK), all VPU off-chain.
 
     The max shift runs per K-segment (per packed sequence); computing it
     here means the shifted/exp'd T*B*K array never exists in HBM and no
@@ -102,33 +109,92 @@ def _seg_shift_exp(l, K):
     if P == 1:
         return jnp.exp(l - jnp.max(l, axis=-1, keepdims=True))
     mx = [
-        jnp.max(l[:, p * K : (p + 1) * K], axis=-1, keepdims=True) for p in range(P)
+        jnp.max(l[..., p * K : (p + 1) * K], axis=-1, keepdims=True)
+        for p in range(P)
     ]
     return jnp.exp(
         l
         - jnp.concatenate(
-            [jnp.broadcast_to(m_, (l.shape[0], K)) for m_ in mx], axis=-1
+            [jnp.broadcast_to(m_, l.shape[:-1] + (K,)) for m_ in mx], axis=-1
         )
     )
 
 
-def _fwd_kernel(pi_ref, A_ref, lik_ref, alpha_ref, s_ref, sh_ref, carry, *, C, m, K, log_in, prec):
+def _seg_bcast_inv(x, K):
+    """Per-sequence inverse row sums, lane-broadcast back to x's shape.
+
+    The single scale primitive of both kernels: 1 / max(sum over each
+    K-lane segment, SUM_FLOOR), broadcast across that segment's lanes. The
+    floor turns a fully-underflowed sequence into zero stats instead of
+    0/0 NaN. All VPU, any rank (the backward kernels batch it over whole
+    (C, R, PK) tiles in their prologues); every call site keeps it off the
+    recursion chain."""
+    P = x.shape[-1] // K
+    if P == 1:
+        return 1.0 / jnp.maximum(jnp.sum(x, axis=-1, keepdims=True), SUM_FLOOR)
+    return jnp.concatenate(
+        [
+            jnp.broadcast_to(
+                1.0
+                / jnp.maximum(
+                    jnp.sum(x[..., p * K : (p + 1) * K], axis=-1, keepdims=True),
+                    SUM_FLOOR,
+                ),
+                x.shape[:-1] + (K,),
+            )
+            for p in range(P)
+        ],
+        axis=-1,
+    )
+
+
+def _emit_scales(alpha_ref, s_ref, K, prec):
+    """Per-tile epilogue: per-sequence sums of the stored alpha, emitted
+    transposed-dense into the (P, C, tile_r) scale block.
+
+    Two shapes of the same reduction: for 128-aligned row tiles, ONE
+    (P, PK) x (PK, C*tile_r) selector matmul (MXU, off the chain) whose
+    (P, C, tile_r) reshape only splits the lane axis at 128-multiples —
+    Mosaic-legal. For narrow tiles (every small-batch SVI window) that
+    reshape is an unsupported lane-splitting shape cast (died in
+    infer-vector-layout on v5e), so use per-segment VPU lane reduces that
+    produce the (C, tile_r) layout directly."""
+    C, tile_r, PK = alpha_ref.shape
+    P = PK // K
+    if tile_r % 128 == 0:
+        sel = (
+            jax.lax.broadcasted_iota(jnp.int32, (P, PK), 1) // K
+            == jax.lax.broadcasted_iota(jnp.int32, (P, PK), 0)
+        ).astype(jnp.float32)
+        a2 = alpha_ref[...].reshape(C * tile_r, PK)
+        s2 = lax.dot_general(
+            sel, a2, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+        s_ref[...] = s2.reshape(P, C, tile_r)
+    else:
+        for p in range(P):
+            s_ref[p] = jnp.sum(alpha_ref[:, :, p * K : (p + 1) * K], axis=-1)
+
+
+def _fwd_kernel(pi_ref, A_ref, lik_ref, alpha_ref, s_ref, sh_ref, carry, *, C, K, log_in, prec):
     """One time-tile of the forward recursion, whole row tile at once.
 
     pi_ref:   (1, PK)           pi~ tiled P times
     A_ref:    (PK, PK)          kron(I_P, A~)
     lik_ref:  (C, R, PK)        RAW log-likelihoods, time-major packed
-    alpha_ref:(C, R, PK)        out: RAW forward messages alpha_hat_t * h_t
+    alpha_ref:(C, R, PK)        out: RAW forward messages alpha_hat_t * c_t
+                                (per-sequence renorm EVERY step — see the
+                                module docstring for why nothing laxer is
+                                numerically sound)
     s_ref:    (P, C, R)         out: per-sequence sums of stored alpha (=
-                                the stored scales h_t), TRANSPOSED so the
+                                the per-step scales c_t), TRANSPOSED so the
                                 minor dim is the wide row axis — a (T,R,P)
-                                layout would be lane-padded 64x. Emitted
-                                post-loop as ONE selector matmul per tile.
+                                layout would be lane-padded 64x
     sh_ref:   (P, C, R)         out: the per-sequence max shifts the exp
                                 ran under (re-derived post-loop, batched)
     carry:    (R, PK)           VMEM scratch persisting across time tiles
-                                (row-renormalized at tile boundaries)
-    m: renorm period; C % m == 0 so tile boundaries are renorm boundaries.
+                                (per-sequence-normalized at tile boundaries)
     """
     j = pl.program_id(1)
     PK = A_ref.shape[0]
@@ -149,7 +215,7 @@ def _fwd_kernel(pi_ref, A_ref, lik_ref, alpha_ref, s_ref, sh_ref, carry, *, C, m
         )
 
     # p = 0: alpha_0 = pi~ * lik_0 on the first tile, else one step off the
-    # renormalized carry; both arms are cheap and the select is branch-free.
+    # normalized carry; both arms are cheap and the select is branch-free.
     lik0 = lik(0)
     a = jnp.where(
         j == 0,
@@ -157,32 +223,19 @@ def _fwd_kernel(pi_ref, A_ref, lik_ref, alpha_ref, s_ref, sh_ref, carry, *, C, m
         raw_step(carry[:, :], lik0),
     )
     alpha_ref[0] = a
-    # the full-row sum is consumed only every m steps, but computing it
-    # unconditionally schedules better (measured: gating it behind
-    # p % m costs ~2% — it pipelines fine off the chain)
-    q = jnp.sum(a, axis=-1, keepdims=True)  # full-row sum, off the chain
+    # Per-sequence renorm every step, folded into the LIKELIHOOD operand:
+    # (a * inv) @ A == (a @ A) * inv for a per-sequence scalar and
+    # block-diagonal A, so the segment reduce + broadcast runs in parallel
+    # with the step's MXU matmul instead of extending the chain.
+    inv = _seg_bcast_inv(a, K)
     for p in range(1, C):
-        if p % m == 0:
-            a = a / q  # renorm boundary; q is the PREVIOUS step's sum
-        a = raw_step(a, lik(p))
+        a = raw_step(a, lik(p) * inv)
         alpha_ref[p] = a
-        q = jnp.sum(a, axis=-1, keepdims=True)
-    carry[:, :] = a / q
+        inv = _seg_bcast_inv(a, K)
+    carry[:, :] = a * inv
 
     # --- batched per-tile epilogue (off the chain) ---
-    # Per-sequence stored scales h_t: ONE (P, PK) x (PK, C*R) selector
-    # matmul over the whole tile's alpha, emitted transposed-dense.
-    tile_r = alpha_ref.shape[1]
-    sel = (
-        jax.lax.broadcasted_iota(jnp.int32, (P, PK), 1) // K
-        == jax.lax.broadcasted_iota(jnp.int32, (P, PK), 0)
-    ).astype(jnp.float32)
-    a2 = alpha_ref[...].reshape(C * tile_r, PK)
-    s2 = lax.dot_general(
-        sel, a2, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=prec,
-    )
-    s_ref[...] = s2.reshape(P, C, tile_r)
+    _emit_scales(alpha_ref, s_ref, K, prec)
     if log_in:
         # the shifts the exp ran under, batched (bit-identical re-derive)
         for p in range(P):
@@ -192,29 +245,31 @@ def _fwd_kernel(pi_ref, A_ref, lik_ref, alpha_ref, s_ref, sh_ref, carry, *, C, m
 
 
 def _bwd_kernel(
-    A_ref, lik_ref, alpha_ref, v_ref, seed_ref, *rest, C, m, K, gated, log_in, prec
+    A_ref, lik_ref, alpha_ref, *rest, C, K, gated, log_in, prec
 ):
     """Reverse-time tile fusing beta recursion + gamma + summed pair stats.
 
-    v_ref:    (1, C//m, R_TILE)  full-row renorm replay factors 1/q for the
-                           renorm steps inside this tile (step c = k*m uses
-                           v_ref[0, k]; leading dim is the grid's time index)
-    seed_ref: (R, PK)      beta' seed at t = T-1: 1/h_{T-1} per sequence,
-                           broadcast to lanes (computed outside, tiny)
-
-    Walks t = C-1 .. 0 within the tile (tiles arrive in reverse time order);
-    bcarry holds beta'_t entering each step, dcarry hands d_t = lik_t *
-    beta'_t (with its renorm replay applied) across the tile boundary so the
-    (alpha_{t-1}, d_t) pairing never crosses a DMA block. acc_ref is a
-    (PK, PK) output block revisited by every grid cell: it stays resident in
-    VMEM for the whole sweep, accumulating sum outer(alpha_raw, d); only its
-    P diagonal K x K blocks are meaningful (the caller discards the rest
-    against the exact zeros of kron(I_P, A~)).
+    Walks t = C-1 .. 0 within the tile (tiles arrive in reverse time
+    order). Every 1/c_{t-1} replay factor of the forward's per-step renorm
+    is the per-sequence inverse sum of an ALPHA block: for in-tile steps
+    that block is resident; at the tile boundary (c = 0) alpha_{t-1} lives
+    in the next-visited (earlier-time) tile, so bcarry/dcarry hand over
+    UNREPLAYED values and the factor — a per-sequence scalar that commutes
+    through the block-diagonal contractions — is applied at consumption.
+    The beta' seed at t = T-1 (beta_hat = 1, so beta' = 1/c_{T-1}) is
+    likewise derived from the resident last alpha block: no scale arrays
+    cross the kernel boundary at all. acc_ref is a (PK, PK) output block
+    revisited by every grid cell: it stays resident in VMEM for the whole
+    sweep, accumulating sum outer(alpha_raw, d); only its P diagonal K x K
+    blocks are meaningful (the caller discards the rest against the exact
+    zeros of kron(I_P, A~)). Scratches: bcarry/dcarry (tile handover),
+    dstash (stats-side d per step), elbuf (the batched prologue's exp'd
+    likelihoods with replay factors pre-folded).
     """
     if gated:
-        g_ref, gamma_ref, acc_ref, bcarry, dcarry, dstash = rest
+        g_ref, gamma_ref, acc_ref, bcarry, dcarry, dstash, elbuf = rest
     else:
-        g_ref, (gamma_ref, acc_ref, bcarry, dcarry, dstash) = None, rest
+        g_ref, (gamma_ref, acc_ref, bcarry, dcarry, dstash, elbuf) = None, rest
     P = A_ref.shape[0] // K
     PK_dim = A_ref.shape[0]
 
@@ -227,36 +282,12 @@ def _bwd_kernel(
             axis=-1,
         )
 
-    def seg_inv(x):
-        # per-sequence inverse row sums, lane-broadcast back to (R, PK).
-        # The beta' chain drifts by a slowly-accumulating per-sequence
-        # scalar (f32 rounding); dividing gamma_t and the stats-side d_t by
-        # sum(gamma_t) removes that common mode exactly (the residual per-
-        # step drift is O(eps)) — without it, gamma row sums err by ~1e-2
-        # at T=1e3 while the renormalized marginals are accurate to ~1e-6.
-        if P == 1:
-            return 1.0 / jnp.sum(x, axis=-1, keepdims=True)
-        return jnp.concatenate(
-            [
-                jnp.broadcast_to(
-                    1.0 / jnp.sum(x[:, p * K : (p + 1) * K], axis=-1, keepdims=True),
-                    (x.shape[0], K),
-                )
-                for p in range(P)
-            ],
-            axis=-1,
-        )
-
     i = pl.program_id(0)
     j = pl.program_id(1)
 
     @pl.when((i == 0) & (j == 0))
     def _():
         acc_ref[:, :] = jnp.zeros_like(acc_ref)
-
-    @pl.when(j == 0)
-    def _():
-        bcarry[:, :] = seed_ref[:, :]
 
     def outer_acc(a, d):
         # sum_r outer(a[r], d[r]) as a dim-0 contraction: no transposed
@@ -273,28 +304,46 @@ def _bwd_kernel(
             preferred_element_type=jnp.float32, precision=prec,
         )
 
+    # Batched prologue: exp-shift the whole tile's likelihoods (bit-
+    # identical to the forward's per-step shifts — max is exact, so
+    # gamma = alpha * beta' holds) and fold in the per-step renorm replay
+    # factors 1/c_{t-1}, which are alpha-only — one vectorized VPU pass
+    # instead of C segmented reduces serialized with the loop. Step c = 0's
+    # factor lives in the next-visited tile; applied at consumption below.
+    el = _seg_shift_exp(lik_ref[...], K) if log_in else lik_ref[...]
+    if C > 1:
+        r_prev = _seg_bcast_inv(alpha_ref[0 : C - 1], K)  # (..., PK) or (..., 1)
+        el = el * jnp.concatenate(
+            [jnp.ones((1,) + r_prev.shape[1:], jnp.float32), r_prev], axis=0
+        )
+    elbuf[...] = el
+
+    # 1/c of this tile's LAST step: seeds beta' at j = 0 (beta_hat = 1)
+    # and replays the later tile's handed-over beta / d_0 at j != 0
+    inv_last = _seg_bcast_inv(alpha_ref[C - 1], K)
+
     @pl.when(j != 0)
     def _():
-        # pairing deferred from the previous (later-in-time) tile
-        acc_ref[:, :] += outer_acc(alpha_ref[C - 1], dcarry[:, :])
+        # pairing deferred from the previous (later-in-time) tile: its d_0
+        # arrived unreplayed, so pair it against the NORMALIZED alpha_hat
+        acc_ref[:, :] += outer_acc(alpha_ref[C - 1] * inv_last, dcarry[:, :])
 
-    beta = bcarry[:, :]
+    beta = jnp.where(j == 0, jnp.ones_like(inv_last), bcarry[:, :]) * inv_last
     for c in range(C - 1, -1, -1):
         graw = alpha_ref[c] * beta
-        inv = seg_inv(graw)  # off the beta chain (outputs only)
+        # The beta' chain drifts by a slowly-accumulating per-sequence
+        # f32-rounding scalar; dividing gamma_t and the stats-side d_t by
+        # sum(graw) removes that common mode exactly (~1e-6 marginals) —
+        # a VPU reduce off the beta chain (outputs only).
+        inv = _seg_bcast_inv(graw, K)
         gamma_ref[c] = graw * inv
-        # same per-sequence max shift as the forward (max is exact, so the
-        # re-derived shift is bit-identical and gamma = alpha * beta' holds)
-        d = (_seg_shift_exp(lik_ref[c], K) if log_in else lik_ref[c]) * beta
-        if c % m == 0:
-            # replay the forward's full-row renorm (scalar per row)
-            d = d * v_ref[0, c // m][:, None]
+        d = elbuf[c] * beta  # exp'd lik with the replay factor pre-folded
         # stats-side d: gated by the pair mask w_{t-1} w_t (SVI buffer
         # discard) and renormalized against the beta-chain scale drift;
         # the beta chain always uses the UNGATED, un-normalized d
         dstash[c] = (gate(d, c) if gated else d) * inv
         beta = chain_step(d)
-    bcarry[:, :] = beta
+    bcarry[:, :] = beta  # unreplayed: the next tile applies its 1/c_last
     dcarry[:, :] = dstash[0]
     if C > 1:
         # The in-tile pairings (alpha_{c-1}, d_c), c = 1..C-1, as ONE
@@ -310,7 +359,7 @@ def _bwd_kernel(
 
 def _fwd_kernel_fused(
     pi_ref, A_ref, W_ref, feats_ref, alpha_ref, s_ref, sh_ref, carry, llbuf,
-    *, C, m, K, prec, ll_prec
+    *, C, K, prec, ll_prec
 ):
     """Forward tile with the expected-log-likelihood matmul FUSED in.
 
@@ -354,34 +403,25 @@ def _fwd_kernel_fused(
         raw_step(carry[:, :], lik0),
     )
     alpha_ref[0] = a
-    q = jnp.sum(a, axis=-1, keepdims=True)
+    # per-sequence renorm every step, folded into the likelihood operand
+    # so the segment reduce overlaps the MXU matmul (see _fwd_kernel)
+    inv = _seg_bcast_inv(a, K)
     for p in range(1, C):
-        if p % m == 0:
-            a = a / q
-        a = raw_step(a, lik(p))
+        a = raw_step(a, lik(p) * inv)
         alpha_ref[p] = a
-        q = jnp.sum(a, axis=-1, keepdims=True)
-    carry[:, :] = a / q
+        inv = _seg_bcast_inv(a, K)
+    carry[:, :] = a * inv
 
     # epilogue: per-sequence stored scales + the max shifts (see _fwd_kernel)
     P = PK // K
-    sel = (
-        jax.lax.broadcasted_iota(jnp.int32, (P, PK), 1) // K
-        == jax.lax.broadcasted_iota(jnp.int32, (P, PK), 0)
-    ).astype(jnp.float32)
-    a2 = alpha_ref[...].reshape(C * tile_r, PK)
-    s2 = lax.dot_general(
-        sel, a2, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=prec,
-    )
-    s_ref[...] = s2.reshape(P, C, tile_r)
+    _emit_scales(alpha_ref, s_ref, K, prec)
     for p in range(P):
         sh_ref[p] = jnp.max(llbuf[:, :, p * K : (p + 1) * K], axis=-1)
 
 
 def _bwd_kernel_fused(
-    A_ref, W_ref, feats_ref, alpha_ref, v_ref, seed_ref, *rest,
-    C, m, K, gated, emit_gamma, prec, ll_prec, stats_prec
+    A_ref, W_ref, feats_ref, alpha_ref, *rest,
+    C, K, gated, emit_gamma, prec, ll_prec, stats_prec
 ):
     """Backward tile fusing beta + gamma + pair stats + EMISSION stats.
 
@@ -421,20 +461,6 @@ def _bwd_kernel_fused(
             axis=-1,
         )
 
-    def seg_inv(x):
-        if P == 1:
-            return 1.0 / jnp.sum(x, axis=-1, keepdims=True)
-        return jnp.concatenate(
-            [
-                jnp.broadcast_to(
-                    1.0 / jnp.sum(x[:, p * K : (p + 1) * K], axis=-1, keepdims=True),
-                    (x.shape[0], K),
-                )
-                for p in range(P)
-            ],
-            axis=-1,
-        )
-
     i = pl.program_id(0)
     j = pl.program_id(1)
     nT = pl.num_programs(1)
@@ -444,17 +470,25 @@ def _bwd_kernel_fused(
         acc_ref[:, :] = jnp.zeros_like(acc_ref)
         eacc_ref[:, :] = jnp.zeros_like(eacc_ref)
 
-    @pl.when(j == 0)
-    def _():
-        bcarry[:, :] = seed_ref[:, :]
-
     # prologue: recompute this tile's log-likelihoods (bit-identical to fwd)
     f2 = feats_ref[...].reshape(C * tile_r, PF)
     ll = lax.dot_general(
         f2, W_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32, precision=ll_prec,
     )
-    llbuf[...] = ll.reshape(C, tile_r, PK_dim)
+    # Batched: exp-shift the whole tile's likelihoods (bit-identical to the
+    # forward's per-step shifts — max is exact) and fold in the per-step
+    # renorm replay factors 1/c_{t-1}, which are alpha-only. One vectorized
+    # VPU pass instead of C segmented reduces serialized with the loop
+    # (measured ~7% of the whole E-step). Step c = 0's factor lives in the
+    # next-visited tile and is applied at consumption (see docstring).
+    el = _seg_shift_exp(ll.reshape(C, tile_r, PK_dim), K)
+    if C > 1:
+        r_prev = _seg_bcast_inv(alpha_ref[0 : C - 1], K)  # (..., PK) or (..., 1)
+        el = el * jnp.concatenate(
+            [jnp.ones((1,) + r_prev.shape[1:], jnp.float32), r_prev], axis=0
+        )
+    llbuf[...] = el
 
     def outer_acc(a, d, p_):
         return lax.dot_general(
@@ -468,26 +502,29 @@ def _bwd_kernel_fused(
             preferred_element_type=jnp.float32, precision=prec,
         )
 
+    # 1/c of this tile's LAST step: seeds beta' at j = 0 (beta_hat = 1)
+    # and replays the later tile's handed-over beta / d_0 at j != 0
+    # (see _bwd_kernel: no scale arrays cross the kernel boundary)
+    inv_last = _seg_bcast_inv(alpha_ref[C - 1], K)
+
     @pl.when(j != 0)
     def _():
-        acc_ref[:, :] += outer_acc(alpha_ref[C - 1], dcarry[:, :], prec)
+        acc_ref[:, :] += outer_acc(alpha_ref[C - 1] * inv_last, dcarry[:, :], prec)
 
-    beta = bcarry[:, :]
+    beta = jnp.where(j == 0, jnp.ones_like(inv_last), bcarry[:, :]) * inv_last
     for c in range(C - 1, -1, -1):
         graw = alpha_ref[c] * beta
-        inv = seg_inv(graw)  # off the beta chain (outputs only)
+        inv = _seg_bcast_inv(graw, K)  # off the beta chain (outputs only)
         gamma_c = graw * inv
         if emit_gamma:
             gout_ref[c] = gamma_c
         # stats-side gamma: kept-mask-gated (emission stats and, at t=0,
         # the init stats both want w_t * gamma_t)
         gbuf[c] = gamma_c * lane_bcast(w_ref[c]) if gated else gamma_c
-        d = _seg_shift_exp(llbuf[c], K) * beta
-        if c % m == 0:
-            d = d * v_ref[0, c // m][:, None]
+        d = llbuf[c] * beta  # exp'd lik with the replay factor pre-folded
         dstash[c] = (d * lane_bcast(g_ref[c]) if gated else d) * inv
         beta = chain_step(d)
-    bcarry[:, :] = beta
+    bcarry[:, :] = beta  # unreplayed: the next tile applies its 1/c_last
     dcarry[:, :] = dstash[0]
     if not emit_gamma:
         # t = 0 lives in the LAST visited tile (time grid runs reversed)
@@ -498,8 +535,9 @@ def _bwd_kernel_fused(
         a_blk = alpha_ref[0 : C - 1].reshape((C - 1) * tile_r, PK_dim)
         d_blk = dstash[1:C].reshape((C - 1) * tile_r, PK_dim)
         acc_ref[:, :] += outer_acc(a_blk, d_blk, prec)
-    # emission-stat accumulation: one batched contraction per tile. Bulk
-    # one-shot sum — stats_prec (DEFAULT/bf16) per the precision policy.
+    # emission-stat accumulation: one batched contraction per tile
+    # (stats_prec: HIGHEST by default — bf16 second moments broke the NIW
+    # posterior's PSD margin in real SVI training; utils/precision.py).
     eacc_ref[:, :] += outer_acc(
         gbuf[...].reshape(C * tile_r, PK_dim), f2, stats_prec
     )
@@ -559,13 +597,15 @@ def _choose_tiles(R: int, T: int, PK: int, budget_bytes: int = 2 * 1024 * 1024,
     for tile_r in rows:
         if 4 * tile_r * T * elem_bytes <= 10 * 1024 * 1024:
             return tile_r, T
-    if T > 32:
+    if T > 256:
         # No bounded tile exists (awkward R with no 128-multiple divisor AND
-        # no whole-axis tile under the VMEM budget): a C = T > 32 block would
-        # statically unroll the whole time axis in-kernel — exactly the
-        # compile blowup the tiler guards against. Fail loudly; callers that
-        # want a fallback should route through resolve_method("auto"), which
-        # avoids pallas for untileable shapes.
+        # no whole-axis tile under the VMEM budget): a C = T block here would
+        # statically unroll the whole time axis in-kernel — for large T
+        # exactly the compile blowup the tiler guards against. Fail loudly;
+        # callers that want a fallback should route through
+        # resolve_method("auto"), which avoids pallas for untileable shapes.
+        # Moderate T (<= 256, e.g. the W=70 whole-window case) stays a
+        # supported explicit-pallas unroll even over the soft VMEM budget.
         raise ValueError(
             f"no bounded Mosaic-legal time tile for R={R}, T={T} "
             f"(PK={PK}): pad T to a multiple of 8 or use method='scan'"
@@ -598,50 +638,33 @@ def _check_tiles(
 def _choose_tiles_fused(R: int, T: int, PK: int, PF: int):
     """Tile choice for the fused kernels: the feature block is PF wide and
     three extra (C, tile_r, PK) scratches stay resident, so budget the
-    whole per-(c, r) footprint instead of one PK-wide block."""
+    whole per-(c, r) footprint instead of one PK-wide block. The budget is
+    ~half the raised 100 MB scoped-VMEM limit because Pallas DOUBLE-BUFFERS
+    every grid-mapped in/out block for DMA pipelining (caught for real: a
+    (512, 24) gated tile allocated 117 MB against a 45 MB single-buffer
+    estimate and OOM'd vmem at W=72/B=1024)."""
     return _choose_tiles(
         R, T, PK,
-        budget_bytes=48 * 1024 * 1024,
+        budget_bytes=24 * 1024 * 1024,
         elem_bytes=(6 * PK + PF) * 4,
     )
 
 
-def _scale_bookkeeping(s_out, sh_out, K, m, C, nT):
-    """Scale/normalizer algebra shared by both host wrappers.
+def _log_c_from_scales(s_out, sh_out):
+    """Per-step log scaling constants from the forward kernel's outputs.
 
-    From the forward kernel's per-sequence stored scales s_out = h_t and
-    max shifts sh_out (both (P, T, R) transposed-dense), derive:
-      log_c (B, T)  — per-step log scaling constants (sum = log Z):
-                      log c_t = log h_t - log h_{t-1}
-                      + [renorm between t-1, t] log q_{t-1} + shift_t,
-                      renorms between t-1 and t for t = k*m, k >= 1;
-      v (nT, C//m, R) — backward renorm replay factors 1/q per tile;
-      seed (R, P*K)   — beta' seed 1/h_{T-1}, lane-broadcast.
-    All ops are elementwise on arrays ~K-fold smaller than alpha.
+    With per-sequence renorm every step, the stored alpha_t is exactly
+    alpha_hat_t * c_t (shifted), so log c_t = log s_t + shift_t directly —
+    s_out holds the per-step per-sequence sums and sh_out the max shifts
+    the in-kernel exp ran under (both (P, T, R) transposed-dense). All the
+    backward kernel's scale algebra is in-kernel-resident (see
+    _bwd_kernel), so this is the only between-kernel bookkeeping left.
+    Returns log_c (B, T); sum over T = log Z per sequence.
     """
     P, T, R = s_out.shape
-    B = P * R
-    q = jnp.sum(s_out, axis=0)  # (T, R) full-row sums (renorm divisors)
-    log_s3 = jnp.log(s_out)
-    log_q_rows = jnp.log(q)
-    steps = jnp.arange(T)
-    corr3 = jnp.where((steps % m == 0) & (steps > 0), 1.0, 0.0)[None, :, None]
-    zP = jnp.zeros((P, 1, R), jnp.float32)
-    prev3 = jnp.concatenate([zP, log_s3[:, :-1]], axis=1)
-    prev_q3 = jnp.concatenate(
-        [jnp.zeros((1, 1, R), jnp.float32), log_q_rows[None, :-1]], axis=1
-    )
-    log_c3 = log_s3 - prev3 + corr3 * prev_q3 + sh_out  # (P, T, R)
+    log_c3 = jnp.log(s_out) + sh_out  # (P, T, R)
     # one 4*T*B-byte relayout to the user-facing (B, T): b = r*P + p
-    log_c = jnp.transpose(log_c3, (2, 0, 1)).reshape(B, T)
-
-    # v[k] = 1/q at step k*m - 1 (the sum the forward divided by entering
-    # step k*m; unused for t = 0). Leading dim grid-indexed so the block's
-    # trailing dims can equal the array dims (Mosaic tiling for C//m < 8).
-    q_prev = jnp.concatenate([jnp.ones((1, R), jnp.float32), q[:-1]], axis=0)
-    v = (1.0 / q_prev[::m]).reshape(nT, C // m, R)
-    seed = jnp.repeat(1.0 / jnp.swapaxes(s_out[:, T - 1, :], 0, 1), K, axis=-1)
-    return log_c, v, seed
+    return jnp.transpose(log_c3, (2, 0, 1)).reshape(P * R, T)
 
 
 @functools.partial(
@@ -659,7 +682,7 @@ def pallas_estep_fused(
     emit_gamma: bool = False,
     precision: lax.Precision = lax.Precision.HIGHEST,
     ll_precision: lax.Precision = lax.Precision.HIGHEST,
-    stats_precision: lax.Precision = lax.Precision.DEFAULT,
+    stats_precision: lax.Precision = lax.Precision.HIGHEST,
 ) -> tuple[FBResult, jax.Array]:
     """Fully-fused batched E-step: likelihoods + FB + ALL stats in-kernel.
 
@@ -675,11 +698,12 @@ def pallas_estep_fused(
     batch and time (kept-mask-gated when weights given). FBResult.gamma
     is the packed (T, B/P, P*K) array when emit_gamma=True, else None.
     Per-step log_c / log_z / init_stats / trans_stats follow the standard
-    contract. Precision tiers per utils/precision.py: chains HIGHEST,
-    bulk stat sums DEFAULT (bf16). The likelihood matmul runs HIGHEST
-    in-kernel (Mosaic supports only DEFAULT/HIGHEST dot precisions; at
-    this matmul's size the extra passes are ~0.1 ms — cheaper than the
-    policy's minimum anyway).
+    contract. ALL matmuls default to HIGHEST (Mosaic supports only
+    DEFAULT/HIGHEST dot precisions): the chains and likelihood matmul per
+    the utils/precision.py policy, and the emission-stat sums because
+    bf16-rounded y (x) y second moments broke the NIW posterior's PSD
+    margin in real SVI training (finite-but-indefinite psi -> NaN on the
+    following E-step).
     """
     T, B, F = feats.shape
     K = log_A.shape[0]
@@ -703,13 +727,12 @@ def pallas_estep_fused(
     tile_r, C = tiles if tiles is not None else _choose_tiles_fused(R, T, PK, PF)
     _check_tiles(tile_r, C, R, T, explicit=tiles is not None, interpret=interpret)
     nR, nT = R // tile_r, T // C
-    m = RENORM if C % RENORM == 0 else 1
 
     compiler_params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
     alpha_t, s_out, sh_out = pl.pallas_call(
         functools.partial(
-            _fwd_kernel_fused, C=C, m=m, K=K, prec=precision, ll_prec=ll_precision
+            _fwd_kernel_fused, C=C, K=K, prec=precision, ll_prec=ll_precision
         ),
         grid=(nR, nT),
         in_specs=[
@@ -744,10 +767,10 @@ def pallas_estep_fused(
         interpret=interpret,
     )(pi_blk, A_blk, W_blk, feats_p)
 
-    log_c, v, seed = _scale_bookkeeping(s_out, sh_out, K, m, C, nT)
+    log_c = _log_c_from_scales(s_out, sh_out)
 
     gated = w_tm is not None
-    bwd_inputs = [A_blk, W_blk, feats_p, alpha_t, v, seed]
+    bwd_inputs = [A_blk, W_blk, feats_p, alpha_t]
     bwd_in_specs = [
         pl.BlockSpec((PK, PK), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((PF, PK), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
@@ -761,12 +784,6 @@ def pallas_estep_fused(
             lambda i, j, nT=nT: (nT - 1 - j, i, 0),
             memory_space=pltpu.VMEM,
         ),
-        pl.BlockSpec(
-            (1, C // m, tile_r),
-            lambda i, j, nT=nT: (nT - 1 - j, 0, i),
-            memory_space=pltpu.VMEM,
-        ),
-        pl.BlockSpec((tile_r, PK), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
     ]
     if gated:
         w3 = w_tm.reshape(T, R, P)
@@ -800,7 +817,7 @@ def pallas_estep_fused(
     gamma_out, acc, eacc = pl.pallas_call(
         functools.partial(
             _bwd_kernel_fused,
-            C=C, m=m, K=K, gated=gated, emit_gamma=emit_gamma,
+            C=C, K=K, gated=gated, emit_gamma=emit_gamma,
             prec=precision, ll_prec=ll_precision, stats_prec=stats_precision,
         ),
         grid=(nR, nT),
@@ -920,14 +937,13 @@ def pallas_forward_backward_batched(
     # with no multiple-of-8 divisor, where the whole axis is one tile)
     _check_tiles(tile_r, C, R, T, explicit=tiles is not None, interpret=interpret)
     nR, nT = R // tile_r, T // C
-    m = RENORM if C % RENORM == 0 else 1
 
     # Mosaic's default scoped-VMEM budget rejects the largest row tiles;
     # raise it so grid-cell count (sequential on the TensorCore) stays low.
     compiler_params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
     alpha_t, s_out, sh_out = pl.pallas_call(
-        functools.partial(_fwd_kernel, C=C, m=m, K=K, log_in=True, prec=precision),
+        functools.partial(_fwd_kernel, C=C, K=K, log_in=True, prec=precision),
         grid=(nR, nT),
         in_specs=[
             pl.BlockSpec((1, PK), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
@@ -958,13 +974,13 @@ def pallas_forward_backward_batched(
     )(pi_blk, A_blk, lik)
 
     # Scale bookkeeping, all elementwise/XLA between the kernels: the
-    # per-sequence stored scales h_t = s_out and the in-kernel max shifts
+    # per-step per-sequence scales s_out and the in-kernel max shifts
     # sh_out are emitted TRANSPOSED-dense (P, T, R) — the wide row axis is
-    # minor, so nothing in _scale_bookkeeping touches a lane-padded array.
-    log_c, v, seed = _scale_bookkeeping(s_out, sh_out, K, m, C, nT)
+    # minor, so nothing here touches a lane-padded array.
+    log_c = _log_c_from_scales(s_out, sh_out)
 
     gated = w_tm is not None
-    bwd_inputs = [A_blk, lik, alpha_t, v, seed]
+    bwd_inputs = [A_blk, lik, alpha_t]
     bwd_in_specs = [
         pl.BlockSpec((PK, PK), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec(
@@ -977,12 +993,6 @@ def pallas_forward_backward_batched(
             lambda i, j, nT=nT: (nT - 1 - j, i, 0),
             memory_space=pltpu.VMEM,
         ),
-        pl.BlockSpec(
-            (1, C // m, tile_r),
-            lambda i, j, nT=nT: (nT - 1 - j, 0, i),
-            memory_space=pltpu.VMEM,
-        ),
-        pl.BlockSpec((tile_r, PK), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
     ]
     if gated:
         # pair gates g_t = w_{t-1} w_t (the transition (t-1, t) is kept iff
@@ -1001,7 +1011,7 @@ def pallas_forward_backward_batched(
 
     gamma_t, acc = pl.pallas_call(
         functools.partial(
-            _bwd_kernel, C=C, m=m, K=K, gated=gated, log_in=True, prec=precision
+            _bwd_kernel, C=C, K=K, gated=gated, log_in=True, prec=precision
         ),
         grid=(nR, nT),
         in_specs=bwd_in_specs,
@@ -1021,6 +1031,7 @@ def pallas_forward_backward_batched(
             pltpu.VMEM((tile_r, PK), jnp.float32),
             pltpu.VMEM((tile_r, PK), jnp.float32),
             pltpu.VMEM((C, tile_r, PK), jnp.float32),
+            pltpu.VMEM((C, tile_r, PK), jnp.float32),  # elbuf
         ],
         compiler_params=None if interpret else compiler_params,
         interpret=interpret,

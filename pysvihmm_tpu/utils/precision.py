@@ -17,13 +17,18 @@ Policy (each tier measured at the production E-step K=64/T=1k/B=1024):
     ("float32" = 6 bf16 passes); the Pallas kernels set
     `precision=HIGHEST` explicitly. These ops are latency-bound, so the
     extra passes cost ~5%, not the matmul-bound ~2-3x.
-  * ONE-SHOT bulk contractions — the packed emission sufficient-stat
-    sums over ~1e6 (t, b) terms: explicit `Precision.DEFAULT` (1 bf16
-    pass). Per-term rounding (~4e-3 relative) is sign-symmetric across
-    independent terms, so the f32-accumulated SUM carries ~4e-3/sqrt(N)
-    ~ 1e-5 relative error — far below SVI's Monte-Carlo noise — while
-    running at full MXU throughput. Measured: f32 stats cost ~15% of
-    the whole E-step; DEFAULT costs ~0.
+  * Emission sufficient-stat sums: ALSO full f32 (`Precision.HIGHEST`),
+    despite being one-shot bulk contractions. The original policy ran
+    them at 1-pass bf16 on a sign-symmetry argument (~1e-5 relative
+    error in the summed stats), but that argument is wrong for the
+    y (x) y second moments: the yy-diagonal terms are all-positive (no
+    cancellation of rounding bias), the stats get amplified by the SVI
+    scale factor (dataset/minibatch, e.g. 62.5x) at rho ~ 1, and the NIW
+    posterior's psi = eta3 - kappa m m^T sits a thin PSD margin above
+    that noise for weakly-populated states. Measured failure: K=64/D=8
+    subchain SVI on-chip produced a finite-but-indefinite psi after ONE
+    step -> NaN likelihoods on the next. The f32 stat matmuls cost ~2%
+    end-to-end (they are overlappable MXU throughput, not chain latency).
   * The expected-log-likelihood einsum feeding the FB chain runs at
     "high" (3 passes, ~5e-7 relative): its error is injected once per
     (t, k) but multiplies through exp() into the chain, so 1-pass bf16

@@ -24,6 +24,8 @@ from pysvihmm_tpu.engines.base import batch_local_step
 from pysvihmm_tpu.models.hmm import init_params, make_prior
 
 K, D, T, B, ITERS = 64, 8, 1000, 1024, 10
+METHOD = sys.argv[1] if len(sys.argv) > 1 else "pallas_fused"
+NEED_GAMMA = "--gamma" in sys.argv
 
 obs, _, _ = gen_gaussian_dataset(jax.random.PRNGKey(0), K, D, B, T)
 obs = obs.astype(jnp.float32)
@@ -36,7 +38,7 @@ def run_n(params_, obs_, n_zero):
         # thread the carry into EVERY param group or XLA hoists the
         # loop-invariant likelihood matmul out of the measured loop
         p_var = jax.tree.map(lambda x: x + carry * 1e-30, params_)
-        stats, gamma = batch_local_step(p_var, GaussianNIW, obs_, "pallas")
+        stats, gamma = batch_local_step(p_var, GaussianNIW, obs_, METHOD, need_gamma=NEED_GAMMA)
         tot = stats.log_z + stats.trans.sum() + stats.init.sum()
         tot = tot + sum(jnp.sum(leaf) for leaf in jax.tree.leaves(stats.emit))
         return tot * 0.0 + carry, tot

@@ -460,6 +460,37 @@ class TestPallasAccuracy:
         np.testing.assert_allclose(np.asarray(fb.gamma).sum(-1), 1.0, atol=1e-5)
         assert np.abs(np.asarray(fb.trans_stats, np.float64) - xi64).max() < 5e-3
 
+    def test_packed_scale_imbalance(self):
+        """Lane-packed sequences with wildly different per-step scales.
+
+        Regression for a production NaN caught on-chip: the forward renorm
+        used the FULL-ROW sum, so when one of the P packed sequences has
+        systematically smaller scaling constants (here ~e^-25 per step vs
+        ~1 for its row-mate), its share of the row decays without bound and
+        underflows f32 within a few dozen steps — gamma/log_c went NaN in
+        real SVI training. Per-sequence per-step renorm keeps each packed
+        sequence's alpha at unit scale regardless of its row-mate."""
+        B, T, K = 2, 200, 64
+        r = np.random.default_rng(3)
+        log_pi = jnp.asarray(np.log(r.dirichlet(np.ones(K))), jnp.float32)
+        log_A = jnp.asarray(np.log(r.dirichlet(np.ones(K), size=K)), jnp.float32)
+        base = r.normal(size=(B, T, K)).astype(np.float32)
+        # seq 1: every step's best reachable state sits ~25 nats below the
+        # per-step max -> c_t ~ e^-25; the max-shift alone cannot fix this
+        # (the shift is per-step, the decay is across steps)
+        spread = np.zeros((B, T, K), np.float32)
+        spread[1] = np.where(np.arange(K)[None, :] == 0, 0.0, -25.0)
+        spread[1, :, 0] -= 25.0 * (np.arange(T) % 2)  # keep state 0 unlikely half the time
+        ll = jnp.asarray(base + spread)
+        fb = pallas_forward_backward_batched(log_pi, log_A, ll, interpret=True)
+        fb_s = messages.e_step_batched(log_pi, log_A, ll, method="scan")
+        assert bool(jnp.all(jnp.isfinite(fb.gamma)))
+        assert bool(jnp.all(jnp.isfinite(fb.log_c)))
+        np.testing.assert_allclose(
+            np.asarray(fb.log_z), np.asarray(fb_s.log_z), rtol=1e-5, atol=1e-2
+        )
+        assert np.abs(np.asarray(fb.gamma - fb_s.gamma)).max() < 1e-4
+
 
 class TestPallasDiagGaussian:
     """The fused paths are family-generic through ell_features /

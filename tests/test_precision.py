@@ -55,16 +55,17 @@ def _lower_local_step(method):
 
 
 def test_pallas_path_precision_tiers():
-    """The production E-step carries all three tiers at once."""
+    """The production E-step carries its precision tiers at once."""
     txt = _lower_local_step("pallas")
     dots = _dot_lines(txt)
-    # chain / quadratic-form dots under the engine-wide f32 guard (and the
-    # kernels' explicit HIGHEST)
+    # chain / quadratic-form / emission-stat dots under the engine-wide f32
+    # guard (and the kernels' explicit HIGHEST). Emission stats are HIGHEST
+    # too since the bf16-stats PSD failure (utils/precision.py).
     assert any("[HIGHEST, HIGHEST]" in l for l in dots)
     # likelihood einsum under bulk_precision(): 3-pass HIGH
     assert any("[HIGH, HIGH]" in l for l in dots)
-    # packed emission stat sums: explicit per-op DEFAULT survives the guard
-    assert any("[DEFAULT, DEFAULT]" in l for l in dots)
+    # nothing on this path may run at 1-pass bf16
+    assert not any("[DEFAULT, DEFAULT]" in l for l in dots)
 
 
 def test_scan_path_has_no_default_precision_dots():

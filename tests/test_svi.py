@@ -229,6 +229,22 @@ class TestAdaptiveBuffer:
         m = SVIHMM(obs, K=K, buffer="auto", subchain_len=40)
         assert isinstance(m.cfg.buffer, int) and m.cfg.buffer >= 1
 
+    def test_compat_periodic_rebuffer(self):
+        # paper §3.2: b adapts to the CURRENT params; with rebuffer_every the
+        # fit re-selects mid-run and the schedule state carries across
+        # segments (elbo history = full maxit, step counter monotone)
+        from pysvihmm_tpu.compat import SVIHMM
+
+        K, D, T = 3, 2, 1500
+        obs, _, _ = gen_gaussian_dataset(
+            jax.random.PRNGKey(23), K, D, 1, T, mean_scale=6.0, cov_scale=0.3
+        )
+        m = SVIHMM(obs, K=K, buffer="auto", subchain_len=40, batch_size=8)
+        m.infer(maxit=30, rebuffer_every=10, method="scan")
+        assert len(m.elbo_history) == 30
+        assert isinstance(m.cfg.buffer, int) and m.cfg.buffer >= 1
+        assert np.isfinite(m.elbo_history).all()
+
 
 class TestMetaObs:
     def test_block_svi_convergence(self):

@@ -112,14 +112,34 @@ class TestTPULoweringAwkwardT:
         )
 
     def test_explicit_ragged_tiles_rejected(self):
-        # a hand-passed Mosaic-illegal tile raises a clear error instead of
-        # failing deep inside TPU lowering
+        # a hand-passed Mosaic-illegal tile raises a clear error at trace
+        # time instead of failing deep inside TPU lowering; the rule applies
+        # only when actually lowering (interpret=False) — interpret-mode
+        # tests deliberately run multi-row-tile grids at small R
         feats = jnp.zeros((1000, B, F), jnp.float32)
         with pytest.raises(ValueError, match="Mosaic-tiling-legal"):
             pallas_estep_fused(
                 LOG_PI, LOG_A, jnp.zeros((F, K), jnp.float32), feats,
-                emit_gamma=False, tiles=(B // 2, 20), interpret=True,
+                emit_gamma=False, tiles=(B // 2, 20), interpret=False,
             )
+
+
+class TestFlagshipEntryLowering:
+    """The driver's entry() (default SVI config, W=70 -> padded 72) must
+    resolve to the fused Pallas kernels on a TPU backend and lower via
+    Mosaic — the round-1 flagship regression (VERDICT r1 item 1): the
+    ==\"pallas\" gate made entry() silently lower the scan path."""
+
+    def test_entry_step_lowers_to_fused_kernels(self, monkeypatch):
+        from pysvihmm_tpu.messages import pallas_fb
+
+        monkeypatch.setattr(pallas_fb, "on_tpu", lambda: True)
+        monkeypatch.delenv("PYSVIHMM_ESTEP_METHOD", raising=False)
+        import __graft_entry__ as g
+
+        fn, args = g.entry()
+        text = jax.jit(fn).trace(*args).lower(lowering_platforms=("tpu",)).as_text()
+        assert "tpu_custom_call" in text  # fused kernels, not the scan path
 
 
 class TestTPULoweringDiagFamily:
