@@ -44,6 +44,12 @@ class RunConfig:
     log_every: int = 10
     log_path: str = ""  # JSONL metrics file (echoes to stderr regardless)
     dtype: str = "float32"
+    # Held-out predictive-log-likelihood tracking (the reference paper's
+    # pred-LL-vs-wall-clock figures): every N iterations, pause the fit and
+    # score `holdout_seqs` held-out sequences (split from the SAME synthetic
+    # dataset). 0 disables (single uninterrupted compiled fit).
+    pred_ll_every: int = 0
+    holdout_seqs: int = 8
 
 
 @dataclass

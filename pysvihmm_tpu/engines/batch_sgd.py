@@ -46,6 +46,32 @@ def make_step(emission, tau: float = 1.0, kappa: float = 0.6, method: str = "aut
     return step
 
 
+def init_state(params: HMMParams) -> BatchSGDState:
+    return BatchSGDState(params=params, step=jnp.asarray(0, jnp.int32))
+
+
+def fit_state(
+    state: BatchSGDState,
+    prior: HMMParams,
+    obs: jax.Array,
+    emission,
+    num_iters: int = 100,
+    tau: float = 1.0,
+    kappa: float = 0.6,
+    method: str = "auto",
+) -> tuple[BatchSGDState, jax.Array]:
+    """State-in/state-out fit so callers can run in segments (periodic
+    held-out scoring, checkpointing) without restarting the rho_t schedule
+    — the step counter rides in the state."""
+    step = make_step(emission, tau, kappa, method)
+
+    def body(s, _):
+        s2, elbo = step(s, prior, obs)
+        return s2, elbo
+
+    return jax.lax.scan(body, state, None, length=num_iters)
+
+
 def fit(
     params: HMMParams,
     prior: HMMParams,
@@ -56,12 +82,7 @@ def fit(
     kappa: float = 0.6,
     method: str = "auto",
 ) -> tuple[HMMParams, jax.Array]:
-    step = make_step(emission, tau, kappa, method)
-    state = BatchSGDState(params=params, step=jnp.asarray(0, jnp.int32))
-
-    def body(s, _):
-        s2, elbo = step(s, prior, obs)
-        return s2, elbo
-
-    final, elbos = jax.lax.scan(body, state, None, length=num_iters)
+    final, elbos = fit_state(
+        init_state(params), prior, obs, emission, num_iters, tau, kappa, method
+    )
     return final.params, elbos

@@ -3,6 +3,7 @@ multi-host runtime. Replaces the reference's multiprocessing.Pool."""
 from .data_parallel import (
     make_dp_metaobs_step,
     make_dp_minibatch_svi_step,
+    make_dp_streamed_svi_step,
     make_dp_vb_step,
     make_mesh,
     replicate,

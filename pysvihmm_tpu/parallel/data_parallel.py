@@ -176,6 +176,51 @@ def make_dp_minibatch_svi_step(emission, cfg, num_seqs: int, mesh: Mesh,
     return step
 
 
+def make_dp_streamed_svi_step(emission, cfg, num_seqs: int, mesh: Mesh,
+                              method: str = "auto"):
+    """Minibatch-of-sequences SVI whose batches arrive from a HOST pipeline.
+
+    The corpus-in-HBM variant (:func:`make_dp_minibatch_svi_step`) samples
+    indices on-device from a resident (N, T, ...) array; at the 100k-1M
+    sequence scale (BASELINE config 5) the corpus lives on disk instead and
+    a :class:`~pysvihmm_tpu.data.loader.ShardedSequenceLoader` streams
+    shuffled, globally-sharded (B, T, ...) batches. This step consumes one
+    such batch per call: shard-parallel local steps, psum'd stats, and the
+    replicated natural-gradient update with the N/B unbiasedness scale.
+    """
+    scale = num_seqs / cfg.batch_size
+
+    @jax.jit
+    @f32_matmuls
+    def step(state: SVIState, prior: HMMParams, batch: jax.Array):
+        params = state.params
+        stats = sharded_local_step(params, emission, batch, mesh, method)
+
+        from ..engines.svi import _resolve_rho
+
+        target = HMMParams(
+            init=dirichlet.posterior(prior.init, scale * stats.init),
+            trans=dirichlet.posterior(prior.trans, scale * stats.trans),
+            emit=emission.nat_grad_step(params.emit, prior.emit, stats.emit, scale, 1.0),
+        )
+        rho, new_adapt = _resolve_rho(state, cfg, target)
+        new_params = HMMParams(
+            init=dirichlet.nat_grad_step(params.init, prior.init, stats.init, scale, rho),
+            trans=dirichlet.nat_grad_step(
+                params.trans, prior.trans, stats.trans, scale, rho
+            ),
+            emit=emission.nat_grad_step(params.emit, prior.emit, stats.emit, scale, rho),
+        )
+        noisy_elbo = scale * stats.log_z - global_kl(params, prior, emission)
+        return (
+            SVIState(params=new_params, step=state.step + 1, key=state.key,
+                     adapt=new_adapt),
+            {"rho": rho, "noisy_elbo": noisy_elbo},
+        )
+
+    return step
+
+
 def make_dp_metaobs_step(emission, cfg, chain_len: int, mesh: Mesh,
                          method: str = "auto"):
     """Data-parallel meta-observation SVI: the direct TPU translation of the

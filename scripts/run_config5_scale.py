@@ -1,0 +1,142 @@
+"""BASELINE config 5 at real scale: DP SVI over a disk-resident corpus.
+
+The CI-scale form (run_baseline_configs.py, config 5) keeps the corpus in
+HBM; this runner demonstrates the pod-scale SHAPE on real hardware:
+
+  1. writes an (N, T, D) float32 corpus to a .npy (chunked device
+     generation -> memmap; the full corpus never sits in host RAM),
+  2. streams shuffled, globally-sharded batches through
+     ShardedSequenceLoader.from_npy (memmap: the OS pages in only the
+     touched rows),
+  3. runs make_dp_streamed_svi_step (shard-parallel local steps + psum'd
+     stats + elastic-step-size natural-gradient update) for --steps,
+  4. reports sequence throughput and end quality (Hamming on a held slice
+     after Hungarian matching + held-out predictive LL per obs).
+
+Defaults: N=200k sequences x T=128 x D=4, K=8, B=512 (N scales to 1M with
+--num-seqs; 1M x 128 x 4 f32 = 2 GB on disk). Single chip or a mesh — the
+same code path the multi-host loader uses.
+
+Usage: python scripts/run_config5_scale.py [--num-seqs 200000] [--steps 300]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      str(Path(__file__).resolve().parent.parent / ".jax_cache"))
+
+import numpy as np
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--num-seqs", type=int, default=200_000)
+    ap.add_argument("--seq-len", type=int, default=128)
+    ap.add_argument("--obs-dim", type=int, default=4)
+    ap.add_argument("--K", type=int, default=8)
+    ap.add_argument("--batch-size", type=int, default=512)
+    ap.add_argument("--steps", type=int, default=300)
+    ap.add_argument("--corpus", type=str, default="/tmp/config5_corpus.npy")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from pysvihmm_tpu.data.loader import ShardedSequenceLoader
+    from pysvihmm_tpu.data.synthetic import gen_data, make_gaussian_params
+    from pysvihmm_tpu.distributions import GaussianNIW
+    from pysvihmm_tpu.engines import svi
+    from pysvihmm_tpu.engines.base import decode, predictive_log_likelihood
+    from pysvihmm_tpu.eval.metrics import hamming_error
+    from pysvihmm_tpu.models.hmm import init_params, make_prior
+    from pysvihmm_tpu.parallel import make_dp_streamed_svi_step, make_mesh
+
+    N, T, D, K, B = args.num_seqs, args.seq_len, args.obs_dim, args.K, args.batch_size
+
+    # 1. chunked corpus generation straight into a disk memmap. All chunks
+    # share ONE true parameter draw (same key into gen_*_dataset's param
+    # sampling via fixed param_key) so the corpus is one model's data.
+    t0 = time.perf_counter()
+    chunk = 16_384
+    out = np.lib.format.open_memmap(
+        args.corpus, mode="w+", dtype=np.float32, shape=(N, T, D)
+    )
+    z_head = None
+    true_params = make_gaussian_params(
+        jax.random.PRNGKey(args.seed), K, D, mean_scale=6.0, cov_scale=0.3
+    )
+    for s in range(0, N, chunk):
+        n = min(chunk, N - s)
+        # one true parameter draw for the whole corpus; the chunk index
+        # folds into the sequence-sampling stream only
+        from pysvihmm_tpu.distributions import GaussianNIW as _G
+
+        obs_c, z_c = gen_data(
+            jax.random.fold_in(jax.random.PRNGKey(args.seed + 1), s),
+            true_params, _G, num_seqs=n, T=T,
+        )
+        out[s : s + n] = np.asarray(obs_c, np.float32)
+        if z_head is None:
+            z_head = np.asarray(z_c[:512])
+    out.flush()
+    gen_wall = time.perf_counter() - t0
+    size_gb = N * T * D * 4 / 1e9
+
+    # 2-3. stream + fit
+    mesh = make_mesh()
+    cfg = svi.SVIConfig(batch_size=B, tau=10.0, kappa=0.6, adaptive=True)
+    loader = ShardedSequenceLoader.from_npy(args.corpus, mesh, batch_per_host=B,
+                                            seed=args.seed)
+    head = np.asarray(out[:512])  # quality probe slice (shares the memmap)
+    prior = make_prior(K, GaussianNIW, obs_dim=D)
+    p0 = init_params(jax.random.PRNGKey(args.seed + 2), prior, GaussianNIW,
+                     jnp.asarray(head))
+    state = svi.init_state(p0, jax.random.PRNGKey(args.seed + 3), adaptive=True)
+    step = make_dp_streamed_svi_step(GaussianNIW, cfg, num_seqs=N, mesh=mesh)
+
+    it = iter(loader)
+    first = next(it)
+    state, m = step(state, prior, first)  # compile
+    jax.block_until_ready(m["noisy_elbo"])
+    done = 1
+    t0 = time.perf_counter()
+    for batch in it:
+        state, m = step(state, prior, batch)
+        done += 1
+        if done >= args.steps:
+            break
+        if done % max(1, args.steps // 4) == 0:
+            print(json.dumps({"step": done,
+                              "noisy_elbo": float(m["noisy_elbo"]),
+                              "rho": float(m["rho"])}), flush=True)
+    jax.block_until_ready(state.params)
+    fit_wall = time.perf_counter() - t0
+
+    # 4. quality
+    z_hat = np.asarray(decode(state.params, GaussianNIW, jnp.asarray(head)))
+    ham = hamming_error(z_hat.reshape(-1), z_head.reshape(-1), K)
+    held = jnp.asarray(out[N - 256 :])
+    pll = float(predictive_log_likelihood(state.params, GaussianNIW, held)) / held[..., 0].size
+
+    print(json.dumps({
+        "config": 5, "scale": "disk-streamed",
+        "N": N, "T": T, "D": D, "K": K, "B": B,
+        "corpus_gb": round(size_gb, 2), "gen_wall_s": round(gen_wall, 1),
+        "steps": done, "fit_wall_s": round(fit_wall, 1),
+        "seqs_per_s": round(done * B / fit_wall, 1),
+        "hamming": ham, "pred_ll_per_obs": round(pll, 4),
+        "devices": int(mesh.devices.size),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

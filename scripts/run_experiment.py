@@ -2,10 +2,17 @@
 §1/§4): generate-or-load data, run a configured engine, log structured
 metrics, optionally checkpoint.
 
+With --pred-ll-every N (the reference paper's pred-LL-vs-wall-clock
+figures), the last --holdout-seqs sequences are held out of training and
+the fit runs in N-iteration segments; after each segment the runner logs
+cumulative TRAINING wall-clock (eval time excluded) and the held-out
+predictive log-likelihood per observation, for every VB engine.
+
 Examples:
   python scripts/run_experiment.py --engine batch_vb --K 4 --num-iters 50
   python scripts/run_experiment.py --engine svi --K 16 --svi-batch-size 32 \
-      --svi-subchain-len 50 --num-iters 2000 --log-every 100
+      --svi-subchain-len 50 --num-iters 2000 --log-every 100 \
+      --pred-ll-every 100
 """
 
 from __future__ import annotations
@@ -27,7 +34,7 @@ from pysvihmm_tpu.data.synthetic import (
     gen_multinomial_dataset,
 )
 from pysvihmm_tpu.engines import batch_sgd, batch_vb, gibbs, metaobs, svi
-from pysvihmm_tpu.engines.base import decode, lower_bound
+from pysvihmm_tpu.engines.base import decode, lower_bound, predictive_log_likelihood
 from pysvihmm_tpu.eval.metrics import hamming_error
 from pysvihmm_tpu.models.hmm import init_params, make_prior, resolve_emission
 from pysvihmm_tpu.utils import checkpoint
@@ -60,21 +67,52 @@ def main(argv=None):
     prior = make_prior(cfg.model.K, emission, alpha_init=cfg.model.alpha_init,
                        alpha_tran=cfg.model.alpha_tran, **size_kw)
 
-    params = init_params(jax.random.PRNGKey(cfg.run.seed + 1), prior, emission, obs)
-    t0 = time.perf_counter()
+    # Held-out split: same gen_*_dataset call (same true params), last
+    # sequences held out — a fresh gen call would draw DIFFERENT true params
+    # and make the held-out score meaningless.
+    track_pred = cfg.run.pred_ll_every > 0 and cfg.run.engine != "gibbs"
+    if track_pred:
+        h = max(1, cfg.run.holdout_seqs)
+        held, obs, z_true = obs[-h:], obs[:-h], z_true[:-h]
+        n_held_obs = int(np.prod(held.shape[:2]))
+    else:
+        held = None
 
-    if cfg.run.engine == "batch_vb":
-        params, elbos = batch_vb.fit(params, prior, obs, emission,
-                                     num_iters=cfg.run.num_iters, method=cfg.run.method)
-        for i, e in enumerate(np.asarray(elbos)):
-            if i % cfg.run.log_every == 0:
-                log.write(step=i, elbo=float(e))
-    elif cfg.run.engine == "batch_sgd":
-        params, elbos = batch_sgd.fit(params, prior, obs, emission,
-                                      num_iters=cfg.run.num_iters,
-                                      tau=cfg.svi.tau, kappa=cfg.svi.kappa,
-                                      method=cfg.run.method)
-        for i, e in enumerate(np.asarray(elbos)):
+    params = init_params(jax.random.PRNGKey(cfg.run.seed + 1), prior, emission, obs)
+
+    def eval_pred(p):
+        return float(predictive_log_likelihood(p, emission, held)) / n_held_obs
+
+    # segment boundaries: with pred-LL tracking, run the compiled fit in
+    # --pred-ll-every chunks (schedule state rides in the engine state);
+    # without it, one uninterrupted fit.
+    seg = cfg.run.pred_ll_every if track_pred else cfg.run.num_iters
+    train_wall = 0.0
+    t_start = time.perf_counter()
+
+    if cfg.run.engine in ("batch_vb", "batch_sgd"):
+        elbos_all = []
+        state = batch_sgd.init_state(params)
+        done = 0
+        while done < cfg.run.num_iters:
+            n = min(seg, cfg.run.num_iters - done)
+            t0 = time.perf_counter()
+            if cfg.run.engine == "batch_vb":
+                params, elbos = batch_vb.fit(params, prior, obs, emission,
+                                             num_iters=n, method=cfg.run.method)
+            else:
+                state, elbos = batch_sgd.fit_state(state, prior, obs, emission,
+                                                   num_iters=n,
+                                                   tau=cfg.svi.tau, kappa=cfg.svi.kappa,
+                                                   method=cfg.run.method)
+                params = state.params
+            jax.block_until_ready(elbos)
+            train_wall += time.perf_counter() - t0
+            elbos_all.append(np.asarray(elbos))
+            done += n
+            if track_pred:
+                log.write(step=done, wall_s=train_wall, pred_ll=eval_pred(params))
+        for i, e in enumerate(np.concatenate(elbos_all)):
             if i % cfg.run.log_every == 0:
                 log.write(step=i, elbo=float(e))
     elif cfg.run.engine in ("svi", "metaobs"):
@@ -85,17 +123,30 @@ def main(argv=None):
                               subchain_len=cfg.svi.subchain_len,
                               buffer=cfg.svi.buffer, tau=cfg.svi.tau,
                               kappa=cfg.svi.kappa)
-            state, metrics = svi.fit(state, prior, chain, emission, c,
-                                     cfg.run.num_iters, cfg.run.method)
+            fit_fn = lambda st, n: svi.fit(st, prior, chain, emission, c, n,
+                                           cfg.run.method)
         else:
             c = metaobs.MetaObsConfig(minibatch=cfg.svi.batch_size,
                                       block_len=cfg.svi.subchain_len,
                                       buffer=cfg.svi.buffer, tau=cfg.svi.tau,
                                       kappa=cfg.svi.kappa)
-            state, metrics = metaobs.fit(state, prior, chain, emission, c,
-                                         cfg.run.num_iters, cfg.run.method)
+            fit_fn = lambda st, n: metaobs.fit(st, prior, chain, emission, c, n,
+                                               cfg.run.method)
+        ne_all = []
+        done = 0
+        while done < cfg.run.num_iters:
+            n = min(seg, cfg.run.num_iters - done)
+            t0 = time.perf_counter()
+            state, metrics = fit_fn(state, n)
+            jax.block_until_ready(metrics["noisy_elbo"])
+            train_wall += time.perf_counter() - t0
+            ne_all.append(np.asarray(metrics["noisy_elbo"]))
+            done += n
+            if track_pred:
+                log.write(step=done, wall_s=train_wall,
+                          pred_ll=eval_pred(state.params))
         params = state.params
-        ne = np.asarray(metrics["noisy_elbo"])
+        ne = np.concatenate(ne_all)
         for i in range(0, len(ne), cfg.run.log_every):
             log.write(step=i, noisy_elbo=float(ne[i]))
         if cfg.run.checkpoint_dir:
@@ -111,14 +162,16 @@ def main(argv=None):
     else:
         raise SystemExit(f"unknown engine {cfg.run.engine}")
 
-    wall = time.perf_counter() - t0
+    wall = time.perf_counter() - t_start
     if cfg.run.engine == "gibbs":
         z_hat = np.asarray(state.z)
     else:
         z_hat = np.asarray(decode(params, emission, obs))
     err = hamming_error(z_hat.reshape(-1), np.asarray(z_true).reshape(-1), cfg.model.K)
     final_elbo = float(lower_bound(params, prior, emission, obs)) if cfg.run.engine != "gibbs" else None
-    log.write(event="done", wall_s=wall, hamming=err, final_elbo=final_elbo)
+    final_pred = eval_pred(params) if track_pred else None
+    log.write(event="done", wall_s=wall, train_wall_s=train_wall, hamming=err,
+              final_elbo=final_elbo, final_pred_ll=final_pred)
 
 
 if __name__ == "__main__":
