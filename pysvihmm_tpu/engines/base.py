@@ -140,21 +140,51 @@ def _pallas_packed_estep(params, emission, obs, weights=None):
     return fb, emit_stats
 
 
-def _fused_feats_W(emission, emit_params, obs_tm):
-    """(feats (T, B, F), W (F, K)) so that expected log-lik = feats @ W.
+def _fused_feats_W(emission, emit_params, obs_tm, K):
+    """(kernel input, W (F, K), in_kernel_feats kind, packing P-or-0).
 
-    GaussianNIW: feats = [1, y, y (x) y], W = niw.ell_feature_matrix.
-    MultinomialDirichlet: feats = one-hot(y), W = E[log phi]^T.
+    Gaussian families: per-packed-slot XLA feature construction — feats
+    for sequences p, P+p, 2P+p, ... are built separately and lane-
+    concatenated, so the array is BORN in the kernels' packed
+    (T, B/P, P*F) layout and XLA fuses the packing into the construction.
+    (The naive build-then-reshape costs two whole-array relayout passes
+    under TPU tiled layouts — 2.8 ms of the 11 ms benchmark E-step.)
+    MultinomialDirichlet passes dense one-hot features with kind None,
+    W = E[log phi]^T.
     """
     from ..distributions import dirichlet
-    from ..distributions.emissions import MultinomialDirichlet
+    from ..distributions.emissions import (
+        DiagonalGaussianNIG,
+        GaussianNIW,
+        MultinomialDirichlet,
+    )
+    from ..messages.pallas_fb import _choose_packing
 
     if emission is MultinomialDirichlet:
         V = emit_params.shape[-1]
         W = jnp.swapaxes(dirichlet.expected_log_probs(emit_params), 0, 1)  # (V, K)
         feats = jax.nn.one_hot(obs_tm, V, dtype=jnp.float32)
-        return feats, W
-    return emission.ell_features(obs_tm), emission.ell_feature_matrix(emit_params)
+        return feats, W, None, 0
+    Wm = emission.ell_feature_matrix(emit_params)
+    import os
+
+    if os.environ.get("PYSVIHMM_INKERNEL_FEATS") and emission in (
+        GaussianNIW, DiagonalGaussianNIG
+    ):
+        # Experimental knob, OFF by default: building [1, y, y (x) y] in
+        # the kernels saves the F-wide feature array's HBM traffic but the
+        # ragged lane concatenation it needs is a Mosaic relayout storm —
+        # MEASURED 60.6k vs 90.8k seq/s on the K=64/T=1k headline bench.
+        # Kept for narrow-feature families / future Mosaic versions.
+        kind = "niw" if emission is GaussianNIW else "nig"
+        return obs_tm.astype(jnp.float32), Wm, kind, 0
+    P = _choose_packing(obs_tm.shape[1], K)
+    if P > 1:
+        feats = jnp.concatenate(
+            [emission.ell_features(obs_tm[:, p::P]) for p in range(P)], axis=-1
+        )
+        return feats, Wm, None, P
+    return emission.ell_features(obs_tm), Wm, None, 0
 
 
 def _unpack_emit_stats(emission, emit_params, S):
@@ -198,7 +228,9 @@ def _pallas_fused_estep(params, emission, obs, weights=None, need_gamma=True):
         obs_tm = jax.lax.optimization_barrier(jnp.swapaxes(obs, 0, 1))
     else:
         obs_tm = jnp.swapaxes(obs, 0, 1)
-    feats, W = _fused_feats_W(emission, params.emit, obs_tm)
+    feats, W, kind, packing = _fused_feats_W(
+        emission, params.emit, obs_tm, params.init.shape[0]
+    )
     w_tm = jnp.swapaxes(weights, 0, 1) if weights is not None else None
     fb, S = pallas_estep_fused(
         log_pi,
@@ -207,6 +239,8 @@ def _pallas_fused_estep(params, emission, obs, weights=None, need_gamma=True):
         feats,
         weights=w_tm,
         emit_gamma=need_gamma,
+        in_kernel_feats=kind,
+        feats_packed=packing,
         tiles=_fused_tiles_override(),
         interpret=not on_tpu(),
     )

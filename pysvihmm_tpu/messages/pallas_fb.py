@@ -148,6 +148,30 @@ def _seg_bcast_inv(x, K):
     )
 
 
+def _build_feats(o2, D, P, kind):
+    """Lane-packed observations (N, P*D) -> packed ELL features (N, P*F),
+    built in VMEM/registers in-kernel.
+
+    The HBM feature array is the fused E-step's dominant traffic at NIW
+    F = 1 + D + D^2 (73 floats/obs at D=8 vs 8 for the observation): built
+    by XLA it is written once and re-read by BOTH kernels (~3x F/D data
+    blowup on the wire). Building it here means only the raw observations
+    cross HBM. kind: "niw" -> [1, y, y (x) y]; "nig" -> [1, y, y*y]."""
+    N = o2.shape[0]
+    ones = jnp.ones((N, 1), jnp.float32)
+    parts = []
+    for p in range(P):
+        y = o2[:, p * D : (p + 1) * D]
+        if kind == "niw":
+            quad = [y[:, d : d + 1] * y for d in range(D)]
+        elif kind == "nig":
+            quad = [y * y]
+        else:
+            raise ValueError(f"unknown in-kernel feature kind: {kind}")
+        parts += [ones, y] + quad
+    return jnp.concatenate(parts, axis=-1)
+
+
 def _emit_scales(alpha_ref, s_ref, K, prec):
     """Per-tile epilogue: per-sequence sums of the stored alpha, emitted
     transposed-dense into the (P, C, tile_r) scale block.
@@ -359,25 +383,27 @@ def _bwd_kernel(
 
 def _fwd_kernel_fused(
     pi_ref, A_ref, W_ref, feats_ref, alpha_ref, s_ref, sh_ref, carry, llbuf,
-    *, C, K, prec, ll_prec
+    *, C, K, D, kind, prec, ll_prec
 ):
     """Forward tile with the expected-log-likelihood matmul FUSED in.
 
     Identical recursion to :func:`_fwd_kernel`, but instead of reading a
-    precomputed (C, R, PK) log-likelihood block it reads the lane-packed
-    per-observation FEATURES (C, R, PF) plus the block-diagonal weight
-    matrix kron(I_P, W) (PF, PK) and computes the tile's log-likelihoods
-    with one batched MXU matmul in the prologue (into VMEM scratch llbuf —
-    the T*B*K log-likelihood array never exists in HBM). For GaussianNIW,
-    feats = [1, y, y (x) y] and W = ell_feature_matrix (distributions/niw);
-    for MultinomialDirichlet, feats = one-hot(y) and W = E[log phi]^T.
+    precomputed (C, R, PK) log-likelihood block it reads either the
+    lane-packed per-observation FEATURES (C, R, PF) (kind=None; e.g.
+    one-hot(y) for MultinomialDirichlet with W = E[log phi]^T) or — for the
+    Gaussian families — the RAW observations (C, R, PD) with kind
+    "niw"/"nig", building the features in-registers (:func:`_build_feats`:
+    only D floats/obs ever cross HBM instead of F). Either way the weight
+    matrix kron(I_P, W) (PF, PK) turns them into the tile's
+    log-likelihoods with one batched MXU matmul in the prologue (into VMEM
+    scratch llbuf — the T*B*K log-likelihood array never exists in HBM).
     """
     j = pl.program_id(1)
     PK = A_ref.shape[0]
     tile_r = feats_ref.shape[1]
-    PF = feats_ref.shape[2]
 
-    f2 = feats_ref[...].reshape(C * tile_r, PF)
+    raw = feats_ref[...].reshape(C * tile_r, feats_ref.shape[2])
+    f2 = raw if kind is None else _build_feats(raw, D, PK // K, kind)
     ll = lax.dot_general(
         f2, W_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32, precision=ll_prec,
@@ -421,7 +447,7 @@ def _fwd_kernel_fused(
 
 def _bwd_kernel_fused(
     A_ref, W_ref, feats_ref, alpha_ref, *rest,
-    C, K, gated, emit_gamma, prec, ll_prec, stats_prec
+    C, K, D, kind, gated, emit_gamma, prec, ll_prec, stats_prec
 ):
     """Backward tile fusing beta + gamma + pair stats + EMISSION stats.
 
@@ -451,7 +477,6 @@ def _bwd_kernel_fused(
     P = A_ref.shape[0] // K
     PK_dim = A_ref.shape[0]
     tile_r = feats_ref.shape[1]
-    PF = feats_ref.shape[2]
 
     def lane_bcast(gc):
         if P == 1:
@@ -471,7 +496,8 @@ def _bwd_kernel_fused(
         eacc_ref[:, :] = jnp.zeros_like(eacc_ref)
 
     # prologue: recompute this tile's log-likelihoods (bit-identical to fwd)
-    f2 = feats_ref[...].reshape(C * tile_r, PF)
+    raw = feats_ref[...].reshape(C * tile_r, feats_ref.shape[2])
+    f2 = raw if kind is None else _build_feats(raw, D, P, kind)
     ll = lax.dot_general(
         f2, W_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32, precision=ll_prec,
@@ -669,17 +695,20 @@ def _log_c_from_scales(s_out, sh_out):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("interpret", "tiles", "emit_gamma", "precision", "ll_precision", "stats_precision"),
+    static_argnames=("interpret", "tiles", "emit_gamma", "in_kernel_feats", "feats_packed", "precision", "ll_precision", "stats_precision"),
 )
 def pallas_estep_fused(
     log_pi: jax.Array,
     log_A: jax.Array,
     W: jax.Array,  # (F, K) per-observation feature weights: ll = feats @ W
-    feats: jax.Array,  # (T, B, F) TIME-MAJOR per-observation features
+    feats: jax.Array,  # (T, B, F) TIME-MAJOR features — or raw (T, B, D)
+    #                    observations when in_kernel_feats is set
     weights: jax.Array | None = None,  # (T, B) kept-mask (SVI buffers)
     interpret: bool = False,
     tiles: tuple[int, int] | None = None,
     emit_gamma: bool = False,
+    in_kernel_feats: str | None = None,  # None | "niw" | "nig"
+    feats_packed: int = 0,  # P > 0: feats already lane-packed (T, B/P, P*Fin)
     precision: lax.Precision = lax.Precision.HIGHEST,
     ll_precision: lax.Precision = lax.Precision.HIGHEST,
     stats_precision: lax.Precision = lax.Precision.HIGHEST,
@@ -704,9 +733,37 @@ def pallas_estep_fused(
     bf16-rounded y (x) y second moments broke the NIW posterior's PSD
     margin in real SVI training (finite-but-indefinite psi -> NaN on the
     following E-step).
+
+    in_kernel_feats: for the Gaussian families, pass the RAW observations
+    (T, B, D) as ``feats`` and set "niw" ([1, y, y (x) y]) or "nig"
+    ([1, y, y*y]); the kernels build the features in-registers so only
+    D floats/obs cross HBM instead of F (73 at NIW D=8) — the fused
+    E-step's dominant traffic term (see :func:`_build_feats`).
+
+    feats_packed: P > 0 means the caller already built feats in the
+    kernels' packed (T, B/P, P*Fin) layout with that lane packing (must
+    equal what :func:`_choose_packing` picks for (B, K); engines/base.py
+    builds the Gaussian features per packed slot so XLA fuses the packing
+    into the feature construction). Without it, the (T, B, Fin) ->
+    (T, B/P, P*Fin) reshape here is a 2-pass whole-array relayout under
+    TPU tiled layouts — measured 2.8 ms of the 11 ms E-step at the
+    benchmark shape.
     """
-    T, B, F = feats.shape
+    if feats_packed:
+        T, R_in, PIN_in = feats.shape
+        B = R_in * feats_packed
+        Fin = PIN_in // feats_packed
+    else:
+        T, B, Fin = feats.shape
     K = log_A.shape[0]
+    if in_kernel_feats is None:
+        D = 0
+        F = Fin
+    else:
+        D = Fin
+        F = 1 + D + D * D if in_kernel_feats == "niw" else 1 + 2 * D
+    if F != W.shape[0]:
+        raise ValueError(f"W rows {W.shape[0]} != feature width {F}")
 
     feats = feats.astype(jnp.float32)
     w_tm = weights.astype(jnp.float32) if weights is not None else None
@@ -714,16 +771,21 @@ def pallas_estep_fused(
     pi_tilde = jnp.exp(log_pi).astype(jnp.float32)
 
     P = _choose_packing(B, K)
+    if feats_packed and feats_packed != P:
+        raise ValueError(f"feats packed with P={feats_packed}, expected {P}")
     PK = P * K
     R = B // P
     PF = P * F
+    PIN = P * Fin  # input block lane width (PD when building in-kernel)
 
     A_blk = jnp.kron(jnp.eye(P, dtype=jnp.float32), A_tilde)  # (PK, PK)
     W_blk = jnp.kron(jnp.eye(P, dtype=jnp.float32), W.astype(jnp.float32))  # (PF, PK)
     pi_blk = jnp.tile(pi_tilde, (P,))[None, :]  # (1, PK)
 
-    feats_p = feats.reshape(T, R, PF)
+    feats_p = feats if feats_packed else feats.reshape(T, R, PIN)
 
+    # tile accounting includes the full feature width even when built
+    # in-kernel (f2 is then register/stack-resident per tile)
     tile_r, C = tiles if tiles is not None else _choose_tiles_fused(R, T, PK, PF)
     _check_tiles(tile_r, C, R, T, explicit=tiles is not None, interpret=interpret)
     nR, nT = R // tile_r, T // C
@@ -732,7 +794,8 @@ def pallas_estep_fused(
 
     alpha_t, s_out, sh_out = pl.pallas_call(
         functools.partial(
-            _fwd_kernel_fused, C=C, K=K, prec=precision, ll_prec=ll_precision
+            _fwd_kernel_fused, C=C, K=K, D=D, kind=in_kernel_feats,
+            prec=precision, ll_prec=ll_precision,
         ),
         grid=(nR, nT),
         in_specs=[
@@ -740,7 +803,7 @@ def pallas_estep_fused(
             pl.BlockSpec((PK, PK), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((PF, PK), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (C, tile_r, PF), lambda i, j: (j, i, 0), memory_space=pltpu.VMEM
+                (C, tile_r, PIN), lambda i, j: (j, i, 0), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=[
@@ -775,7 +838,7 @@ def pallas_estep_fused(
         pl.BlockSpec((PK, PK), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((PF, PK), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec(
-            (C, tile_r, PF),
+            (C, tile_r, PIN),
             lambda i, j, nT=nT: (nT - 1 - j, i, 0),
             memory_space=pltpu.VMEM,
         ),
@@ -817,7 +880,8 @@ def pallas_estep_fused(
     gamma_out, acc, eacc = pl.pallas_call(
         functools.partial(
             _bwd_kernel_fused,
-            C=C, K=K, gated=gated, emit_gamma=emit_gamma,
+            C=C, K=K, D=D, kind=in_kernel_feats, gated=gated,
+            emit_gamma=emit_gamma,
             prec=precision, ll_prec=ll_precision, stats_prec=stats_precision,
         ),
         grid=(nR, nT),
