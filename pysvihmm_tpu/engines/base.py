@@ -143,12 +143,23 @@ def _pallas_packed_estep(params, emission, obs, weights=None):
 def _fused_feats_W(emission, emit_params, obs_tm, K):
     """(kernel input, W (F, K), in_kernel_feats kind, packing P-or-0).
 
-    Gaussian families: per-packed-slot XLA feature construction — feats
-    for sequences p, P+p, 2P+p, ... are built separately and lane-
-    concatenated, so the array is BORN in the kernels' packed
-    (T, B/P, P*F) layout and XLA fuses the packing into the construction.
-    (The naive build-then-reshape costs two whole-array relayout passes
-    under TPU tiled layouts — 2.8 ms of the 11 ms benchmark E-step.)
+    Gaussian families build the DENSE (T, B, F) feature array with one XLA
+    pass and let pallas_estep_fused reshape it into the kernels' packed
+    (T, B/P, P*F) layout — the measured-fastest route (90.7k seq/s on the
+    K=64/T=1k headline bench). Two measured-slower alternatives are kept
+    behind env knobs, OFF by default:
+
+      * PYSVIHMM_INKERNEL_FEATS: pass raw observations and build
+        [1, y, y (x) y] inside the kernels (only D floats/obs cross HBM
+        instead of F) — the ragged lane concatenation is a Mosaic relayout
+        storm: MEASURED 60.6k.
+      * PYSVIHMM_SLOT_FEATS: per-packed-slot XLA construction
+        (feats born packed, no reshape) — the P strided slices
+        obs[:, p::P] gather across sublanes and the ragged P*F lane
+        concat is worse than the reshape it avoids: MEASURED 44.0k.
+        (This was briefly the default via an end-of-round-2 WIP snapshot;
+        BENCH_r02.json's 44k records exactly that regression.)
+
     MultinomialDirichlet passes dense one-hot features with kind None,
     W = E[log phi]^T.
     """
@@ -171,19 +182,15 @@ def _fused_feats_W(emission, emit_params, obs_tm, K):
     if os.environ.get("PYSVIHMM_INKERNEL_FEATS") and emission in (
         GaussianNIW, DiagonalGaussianNIG
     ):
-        # Experimental knob, OFF by default: building [1, y, y (x) y] in
-        # the kernels saves the F-wide feature array's HBM traffic but the
-        # ragged lane concatenation it needs is a Mosaic relayout storm —
-        # MEASURED 60.6k vs 90.8k seq/s on the K=64/T=1k headline bench.
-        # Kept for narrow-feature families / future Mosaic versions.
         kind = "niw" if emission is GaussianNIW else "nig"
         return obs_tm.astype(jnp.float32), Wm, kind, 0
-    P = _choose_packing(obs_tm.shape[1], K)
-    if P > 1:
-        feats = jnp.concatenate(
-            [emission.ell_features(obs_tm[:, p::P]) for p in range(P)], axis=-1
-        )
-        return feats, Wm, None, P
+    if os.environ.get("PYSVIHMM_SLOT_FEATS"):
+        P = _choose_packing(obs_tm.shape[1], K)
+        if P > 1:
+            feats = jnp.concatenate(
+                [emission.ell_features(obs_tm[:, p::P]) for p in range(P)], axis=-1
+            )
+            return feats, Wm, None, P
     return emission.ell_features(obs_tm), Wm, None, 0
 
 

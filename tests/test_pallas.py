@@ -541,3 +541,71 @@ class TestPallasDiagGaussian:
         for method in ("pallas", "pallas_fused"):
             for a, b in zip(jax.tree.leaves(outs[method][:3]), jax.tree.leaves(outs["scan"][:3])):
                 np.testing.assert_allclose(np.array(a), np.array(b), rtol=3e-3, atol=2e-3)
+
+
+class TestFusedFeatureRoute:
+    """Pin the production feature route of the fused E-step.
+
+    BENCH_r02.json's 44k seq/s regression (vs 90.7k) came from an
+    end-of-round WIP snapshot that silently made per-slot packed feature
+    construction the default: obs[:, p::P] strided slices + a ragged
+    P*F lane concat are 2x slower than the dense build + in-call packed
+    reshape they replaced. The dense route must stay the default; the
+    measured-slower experiments stay behind env knobs.
+    """
+
+    def _args(self, monkeypatch, env=None):
+        from pysvihmm_tpu.distributions import GaussianNIW
+        from pysvihmm_tpu.engines.base import _fused_feats_W
+
+        for var in ("PYSVIHMM_INKERNEL_FEATS", "PYSVIHMM_SLOT_FEATS"):
+            monkeypatch.delenv(var, raising=False)
+        if env:
+            monkeypatch.setenv(*env)
+        K, D, T, B = 64, 8, 16, 8  # P = 2 packing at K=64
+        rng = np.random.default_rng(0)
+        obs_tm = jnp.asarray(rng.normal(size=(T, B, D)), jnp.float32)
+        prior_emit = GaussianNIW.make_prior(K, D)
+        return GaussianNIW, prior_emit, obs_tm, K, _fused_feats_W
+
+    def test_default_is_dense_unpacked(self, monkeypatch):
+        emission, emit_params, obs_tm, K, fn = self._args(monkeypatch)
+        feats, W, kind, packing = fn(emission, emit_params, obs_tm, K)
+        F = 1 + 8 + 64
+        assert kind is None and packing == 0
+        assert feats.shape == (16, 8, F) and W.shape == (F, K)
+
+    def test_slot_knob_packs(self, monkeypatch):
+        emission, emit_params, obs_tm, K, fn = self._args(
+            monkeypatch, env=("PYSVIHMM_SLOT_FEATS", "1")
+        )
+        feats, W, kind, packing = fn(emission, emit_params, obs_tm, K)
+        assert kind is None and packing == 2
+        assert feats.shape == (16, 4, 2 * (1 + 8 + 64))
+
+    def test_inkernel_knob_passes_raw_obs(self, monkeypatch):
+        emission, emit_params, obs_tm, K, fn = self._args(
+            monkeypatch, env=("PYSVIHMM_INKERNEL_FEATS", "1")
+        )
+        feats, W, kind, packing = fn(emission, emit_params, obs_tm, K)
+        assert kind == "niw" and packing == 0
+        assert feats.shape == obs_tm.shape
+
+    def test_slot_route_matches_dense(self, monkeypatch):
+        """The opt-in slot route must stay numerically identical."""
+        from pysvihmm_tpu.data.synthetic import gen_gaussian_dataset
+        from pysvihmm_tpu.distributions import GaussianNIW
+        from pysvihmm_tpu.engines.base import batch_local_step
+        from pysvihmm_tpu.models.hmm import init_params, make_prior
+
+        K, D, B, T = 64, 4, 8, 16
+        obs, _, _ = gen_gaussian_dataset(jax.random.PRNGKey(0), K, D, B, T)
+        prior = make_prior(K, GaussianNIW, obs_dim=D)
+        params = init_params(jax.random.PRNGKey(1), prior, GaussianNIW, obs)
+        monkeypatch.delenv("PYSVIHMM_SLOT_FEATS", raising=False)
+        s0, g0 = batch_local_step(params, GaussianNIW, obs, "pallas_fused")
+        monkeypatch.setenv("PYSVIHMM_SLOT_FEATS", "1")
+        s1, g1 = batch_local_step(params, GaussianNIW, obs, "pallas_fused")
+        np.testing.assert_allclose(np.array(g0), np.array(g1), atol=1e-6)
+        for a, b in zip(jax.tree.leaves(s0), jax.tree.leaves(s1)):
+            np.testing.assert_allclose(np.array(a), np.array(b), rtol=1e-5, atol=1e-6)
