@@ -224,11 +224,17 @@ def _pallas_fused_estep(params, emission, obs, weights=None, need_gamma=True):
     comparable to K (models/hmm.py::ONE_HOT_MAX_V).
     """
     from ..distributions.emissions import MultinomialDirichlet
-    from ..messages.pallas_fb import on_tpu, pallas_estep_fused
+    from ..messages.pallas_fb import (
+        kernel_precisions,
+        on_tpu,
+        pallas_estep_fused,
+    )
     from ..models.hmm import ONE_HOT_MAX_V
 
     if emission is MultinomialDirichlet and params.emit.shape[-1] > ONE_HOT_MAX_V:
         return _pallas_packed_estep(params, emission, obs, weights)
+
+    prec, ll_prec, stats_prec = kernel_precisions()
 
     log_pi, log_A = expected_log_params(params)
     if obs.ndim == 3:
@@ -250,6 +256,9 @@ def _pallas_fused_estep(params, emission, obs, weights=None, need_gamma=True):
         feats_packed=packing,
         tiles=_fused_tiles_override(),
         interpret=not on_tpu(),
+        precision=prec,
+        ll_precision=ll_prec,
+        stats_precision=stats_prec,
     )
     return fb, _unpack_emit_stats(emission, params.emit, S)
 

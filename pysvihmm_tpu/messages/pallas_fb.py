@@ -148,6 +148,92 @@ def _seg_bcast_inv(x, K):
     )
 
 
+_PREC_NAMES = {
+    "default": lax.Precision.DEFAULT,
+    "highest": lax.Precision.HIGHEST,
+    "bf16x3": "bf16x3",
+}
+
+
+def kernel_precisions():
+    """Resolve the kernels' (chain/pairwise, likelihood, emission-stat)
+    precision specs from env knobs; the PRODUCTION DEFAULT is "bf16x3"
+    (3-pass bf16-split HIGH emulation, :func:`_kdot`) for all three.
+
+    PYSVIHMM_KERNEL_PREC — the chain recursions + pairwise-stat outer
+    products; PYSVIHMM_LL_PREC — the fused likelihood matmuls;
+    PYSVIHMM_STATS_PREC — the emission-stat contraction. Values:
+    "bf16x3" (the default), "highest" (6-pass f32 — restores exact-f32
+    kernels for debugging/validation), "default" (1-pass bf16 — known to
+    break NIW PSD margins for stats; exposed for measurement only).
+
+    Measured basis for the default (K=64/T=1k/B=1024 headline, same chip
+    A/B, bench_results/r3_tpu.jsonl): all-bf16x3 107.6k seq/s vs
+    all-HIGHEST 89.8k (+20%). Per-tier error vs HIGHEST (max |d|/||ref||_inf
+    over all E-step stat leaves, interpret mode): chain tier 4e-6, stat
+    tier 2e-6, likelihood tier 2e-4 (one bf16-split injected in the
+    log-likelihood, amplified once through exp). Full VB fits land on the
+    same optimum (end-ELBO rel diff 1.7e-4, Hamming 0.0); per-iteration
+    f32 ELBO evaluation gains ~1e-4-relative noise from the likelihood
+    tier (tests/test_precision.py::TestKernelPrecisionKnobs). The exact
+    paths (scan, and the kernel APIs' HIGHEST signature defaults) are
+    untouched. Read at trace time by the engine callers (the specs are
+    static jit args), NOT inside the kernels.
+    """
+    import os
+
+    def get(name):
+        v = os.environ.get(name, "").lower()
+        if v and v not in _PREC_NAMES:
+            raise ValueError(f"{name} must be one of {sorted(_PREC_NAMES)}")
+        return _PREC_NAMES.get(v, "bf16x3")
+
+    return (
+        get("PYSVIHMM_KERNEL_PREC"),
+        get("PYSVIHMM_LL_PREC"),
+        get("PYSVIHMM_STATS_PREC"),
+    )
+
+
+def _split_bf16(x):
+    """f32 -> (hi, lo) bf16 pair with hi + lo == x to ~2^-16 relative."""
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _kdot(a, b, dims, prec, b_split=None):
+    """In-kernel dot_general with an EXTENDED precision spec.
+
+    prec is either a lax.Precision (passed through to Mosaic — only
+    DEFAULT and HIGHEST lower) or the string "bf16x3": a 3-pass bf16-split
+    emulation of XLA's HIGH (a = ah+al, b = bh+bl; ah@bh + ah@bl + al@bh;
+    ~2^-21 one-shot relative error) at HALF the MXU passes of HIGHEST
+    (f32 = 6 bf16 passes). utils/precision.py's policy wants exactly this
+    tier for the one-shot bulk contractions (likelihood matmul, stat
+    sums); Mosaic exposes no native HIGH, hence the emulation.
+
+    b_split: optional pre-split (b_hi, b_lo) for loop-invariant right
+    operands (the transition matrix in the chain recursions, the feature
+    weights): hoists 2 VPU casts out of the loop.
+    """
+    if prec != "bf16x3":
+        return lax.dot_general(
+            a, b, dims, preferred_element_type=jnp.float32, precision=prec
+        )
+    ah, al = _split_bf16(a)
+    bh, bl = _split_bf16(b) if b_split is None else b_split
+    def d(x, y):
+        # each pass is a NATIVE bf16 MXU matmul: contract precision must
+        # be DEFAULT — Mosaic rejects bf16 operands under an fp32
+        # contract_precision ("Bad lhs type")
+        return lax.dot_general(
+            x, y, dims, preferred_element_type=jnp.float32,
+            precision=lax.Precision.DEFAULT,
+        )
+    return d(ah, bh) + d(ah, bl) + d(al, bh)
+
+
 def _build_feats(o2, D, P, kind):
     """Lane-packed observations (N, P*D) -> packed ELL features (N, P*F),
     built in VMEM/registers in-kernel.
@@ -191,10 +277,7 @@ def _emit_scales(alpha_ref, s_ref, K, prec):
             == jax.lax.broadcasted_iota(jnp.int32, (P, PK), 0)
         ).astype(jnp.float32)
         a2 = alpha_ref[...].reshape(C * tile_r, PK)
-        s2 = lax.dot_general(
-            sel, a2, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=prec,
-        )
+        s2 = _kdot(sel, a2, (((1,), (1,)), ((), ())), prec)
         s_ref[...] = s2.reshape(P, C, tile_r)
     else:
         for p in range(P):
@@ -229,12 +312,12 @@ def _fwd_kernel(pi_ref, A_ref, lik_ref, alpha_ref, s_ref, sh_ref, carry, *, C, K
         # and the exp run here on the VPU (off the chain)
         return _seg_shift_exp(lik_ref[p], K) if log_in else lik_ref[p]
 
+    A_split = _split_bf16(A_ref[:, :]) if prec == "bf16x3" else None
+
     def raw_step(a_prev, lik_t):
         return (
-            jnp.dot(
-                a_prev, A_ref[:, :],
-                preferred_element_type=jnp.float32, precision=prec,
-            )
+            _kdot(a_prev, A_ref[:, :], (((1,), (0,)), ((), ())), prec,
+                  b_split=A_split)
             * lik_t
         )
 
@@ -313,20 +396,17 @@ def _bwd_kernel(
     def _():
         acc_ref[:, :] = jnp.zeros_like(acc_ref)
 
+    A_split = _split_bf16(A_ref[:, :]) if prec == "bf16x3" else None
+
     def outer_acc(a, d):
         # sum_r outer(a[r], d[r]) as a dim-0 contraction: no transposed
         # operand is ever materialized (MXU feeds it natively)
-        return lax.dot_general(
-            a, d, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=prec,
-        )
+        return _kdot(a, d, (((0,), (0,)), ((), ())), prec)
 
     def chain_step(d):
         # d @ A^T as a dim-1/dim-1 contraction: no transpose materialized
-        return lax.dot_general(
-            d, A_ref[:, :], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=prec,
-        )
+        return _kdot(d, A_ref[:, :], (((1,), (1,)), ((), ())), prec,
+                     b_split=A_split)
 
     # Batched prologue: exp-shift the whole tile's likelihoods (bit-
     # identical to the forward's per-step shifts — max is exact, so
@@ -404,21 +484,18 @@ def _fwd_kernel_fused(
 
     raw = feats_ref[...].reshape(C * tile_r, feats_ref.shape[2])
     f2 = raw if kind is None else _build_feats(raw, D, PK // K, kind)
-    ll = lax.dot_general(
-        f2, W_ref[...], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=ll_prec,
-    )
+    ll = _kdot(f2, W_ref[...], (((1,), (0,)), ((), ())), ll_prec)
     llbuf[...] = ll.reshape(C, tile_r, PK)
 
     def lik(p):
         return _seg_shift_exp(llbuf[p], K)
 
+    A_split = _split_bf16(A_ref[:, :]) if prec == "bf16x3" else None
+
     def raw_step(a_prev, lik_t):
         return (
-            jnp.dot(
-                a_prev, A_ref[:, :],
-                preferred_element_type=jnp.float32, precision=prec,
-            )
+            _kdot(a_prev, A_ref[:, :], (((1,), (0,)), ((), ())), prec,
+                  b_split=A_split)
             * lik_t
         )
 
@@ -498,10 +575,7 @@ def _bwd_kernel_fused(
     # prologue: recompute this tile's log-likelihoods (bit-identical to fwd)
     raw = feats_ref[...].reshape(C * tile_r, feats_ref.shape[2])
     f2 = raw if kind is None else _build_feats(raw, D, P, kind)
-    ll = lax.dot_general(
-        f2, W_ref[...], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=ll_prec,
-    )
+    ll = _kdot(f2, W_ref[...], (((1,), (0,)), ((), ())), ll_prec)
     # Batched: exp-shift the whole tile's likelihoods (bit-identical to the
     # forward's per-step shifts — max is exact) and fold in the per-step
     # renorm replay factors 1/c_{t-1}, which are alpha-only. One vectorized
@@ -516,17 +590,14 @@ def _bwd_kernel_fused(
         )
     llbuf[...] = el
 
+    A_split = _split_bf16(A_ref[:, :]) if prec == "bf16x3" else None
+
     def outer_acc(a, d, p_):
-        return lax.dot_general(
-            a, d, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=p_,
-        )
+        return _kdot(a, d, (((0,), (0,)), ((), ())), p_)
 
     def chain_step(d):
-        return lax.dot_general(
-            d, A_ref[:, :], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=prec,
-        )
+        return _kdot(d, A_ref[:, :], (((1,), (1,)), ((), ())), prec,
+                     b_split=A_split)
 
     # 1/c of this tile's LAST step: seeds beta' at j = 0 (beta_hat = 1)
     # and replays the later tile's handed-over beta / d_0 at j != 0
@@ -709,9 +780,9 @@ def pallas_estep_fused(
     emit_gamma: bool = False,
     in_kernel_feats: str | None = None,  # None | "niw" | "nig"
     feats_packed: int = 0,  # P > 0: feats already lane-packed (T, B/P, P*Fin)
-    precision: lax.Precision = lax.Precision.HIGHEST,
-    ll_precision: lax.Precision = lax.Precision.HIGHEST,
-    stats_precision: lax.Precision = lax.Precision.HIGHEST,
+    precision: lax.Precision | str = lax.Precision.HIGHEST,
+    ll_precision: lax.Precision | str = lax.Precision.HIGHEST,
+    stats_precision: lax.Precision | str = lax.Precision.HIGHEST,
 ) -> tuple[FBResult, jax.Array]:
     """Fully-fused batched E-step: likelihoods + FB + ALL stats in-kernel.
 
@@ -945,7 +1016,7 @@ def pallas_forward_backward_batched(
     tiles: tuple[int, int] | None = None,
     time_major: bool = False,
     packed_gamma: bool = False,
-    precision: lax.Precision = lax.Precision.HIGHEST,
+    precision: lax.Precision | str = lax.Precision.HIGHEST,
 ) -> FBResult:
     """Batched fully-fused FB.
 

@@ -34,6 +34,23 @@ Policy (each tier measured at the production E-step K=64/T=1k/B=1024):
     (t, k) but multiplies through exp() into the chain, so 1-pass bf16
     (4e-3 x |L| ~ 0.1 absolute in log space) is unacceptable, while
     6-pass buys nothing over 3-pass there.
+
+Fused-kernel revision (round 3, measured): Mosaic exposes no native
+3-pass HIGH in-kernel, so the fused kernels long ran every dot at
+HIGHEST. messages/pallas_fb.py::_kdot now emulates HIGH as three native
+bf16 MXU passes over bf16-split operands ("bf16x3"), and A SAME-CHIP A/B
+(bench_results/r3_tpu.jsonl) made it the fused-path production default
+for ALL THREE tiers — including the chain recursions, whose "latency-
+bound so passes are ~free" assumption above turned out wrong in the
+fused kernels (chain tier alone: 89.8k -> 97.1k seq/s; all three tiers:
+107.6k, +20%). The measured per-tier error vs HIGHEST (chain 4e-6, stats
+2e-6, likelihood 2e-4 max-normalized) sits far below both documented
+failure thresholds above; full-fit validation in
+tests/test_precision.py::TestKernelPrecisionKnobs. The stat-sum PSD
+hazard was a 1-PASS bf16 failure (4e-3-level noise x 62.5 SVI scale);
+bf16x3's 2e-6 keeps a ~1000x margin. Env knobs PYSVIHMM_KERNEL_PREC /
+PYSVIHMM_LL_PREC / PYSVIHMM_STATS_PREC = "highest" restore exact-f32
+kernels (messages/pallas_fb.py::kernel_precisions).
 """
 
 from __future__ import annotations

@@ -14,6 +14,20 @@ from pysvihmm_tpu.messages.pallas_fb import pallas_forward_backward_batched
 rng = np.random.default_rng(21)
 
 
+@pytest.fixture(autouse=True)
+def _exact_kernels(monkeypatch):
+    """Pin the engine-resolved kernel precision tiers to exact f32.
+
+    These tests verify kernel MATH against scan at tight tolerances; the
+    production default ("bf16x3" 3-pass HIGH emulation, ~1e-3-level on
+    the likelihood tier) is covered separately with its own measured
+    bounds in tests/test_precision.py::TestKernelPrecisionKnobs.
+    """
+    for var in ("PYSVIHMM_KERNEL_PREC", "PYSVIHMM_LL_PREC",
+                "PYSVIHMM_STATS_PREC"):
+        monkeypatch.setenv(var, "highest")
+
+
 def problem(B, T, K):
     return (
         jnp.array(np.log(rng.dirichlet(np.ones(K))), jnp.float32),

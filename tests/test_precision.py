@@ -75,3 +75,89 @@ def test_scan_path_has_no_default_precision_dots():
     dots = _dot_lines(txt)
     assert dots, "expected dots in the lowered scan E-step"
     assert not any("[DEFAULT, DEFAULT]" in l for l in dots)
+
+
+class TestKernelPrecisionKnobs:
+    """The extended in-kernel precision tiers (messages/pallas_fb.py):
+    env-resolved specs, and interpret-mode parity of the "bf16x3" 3-pass
+    bf16-split HIGH emulation (the production default) against the 6-pass
+    HIGHEST exact reference.
+
+    Measured interpret-mode errors vs HIGHEST on the K=64 fused E-step
+    (max |d| / ||ref||_inf per stat leaf): chain/pairwise tier ~4e-6,
+    stat tier ~2e-6, likelihood tier ~2e-4 (one bf16-split error in the
+    log-likelihood, amplified once through exp). Tolerances below hold
+    3-5x margin.
+    """
+
+    def _run(self, monkeypatch, env):
+        import numpy as np
+
+        from pysvihmm_tpu.engines.base import batch_local_step
+        from pysvihmm_tpu.models.hmm import init_params, make_prior
+
+        for var in ("PYSVIHMM_KERNEL_PREC", "PYSVIHMM_LL_PREC",
+                    "PYSVIHMM_STATS_PREC"):
+            monkeypatch.delenv(var, raising=False)
+        for k, v in env.items():
+            monkeypatch.setenv(k, v)
+        K, D, B, T = 64, 4, 8, 32
+        obs, _, _ = gen_gaussian_dataset(jax.random.PRNGKey(0), K, D, B, T)
+        prior = make_prior(K, GaussianNIW, obs_dim=D)
+        params = init_params(jax.random.PRNGKey(1), prior, GaussianNIW, obs)
+        return batch_local_step(params, GaussianNIW, obs, "pallas_fused")
+
+    def test_env_resolution(self, monkeypatch):
+        from pysvihmm_tpu.messages.pallas_fb import kernel_precisions
+
+        for var in ("PYSVIHMM_KERNEL_PREC", "PYSVIHMM_LL_PREC",
+                    "PYSVIHMM_STATS_PREC"):
+            monkeypatch.delenv(var, raising=False)
+        assert kernel_precisions() == ("bf16x3",) * 3
+        monkeypatch.setenv("PYSVIHMM_KERNEL_PREC", "highest")
+        monkeypatch.setenv("PYSVIHMM_STATS_PREC", "default")
+        assert kernel_precisions() == (
+            jax.lax.Precision.HIGHEST, "bf16x3", jax.lax.Precision.DEFAULT
+        )
+        monkeypatch.setenv("PYSVIHMM_LL_PREC", "fast")  # unknown value
+        import pytest
+
+        with pytest.raises(ValueError):
+            kernel_precisions()
+
+    _ALL_HIGHEST = {
+        "PYSVIHMM_KERNEL_PREC": "highest",
+        "PYSVIHMM_LL_PREC": "highest",
+        "PYSVIHMM_STATS_PREC": "highest",
+    }
+
+    def test_bf16x3_parity(self, monkeypatch):
+        """Each tier alone (others pinned HIGHEST) vs the all-HIGHEST
+        exact reference stays inside the measured bounds."""
+        import numpy as np
+
+        ref_s, ref_logc = self._run(monkeypatch, self._ALL_HIGHEST)
+        tol = {
+            "PYSVIHMM_KERNEL_PREC": 2e-5,
+            "PYSVIHMM_STATS_PREC": 1e-5,
+            "PYSVIHMM_LL_PREC": 1e-3,
+        }
+        for var, t in tol.items():
+            env = dict(self._ALL_HIGHEST, **{var: "bf16x3"})
+            s, logc = self._run(monkeypatch, env)
+            assert float(jnp.max(jnp.abs(logc - ref_logc))) < 5e-3, var
+            for a, b in zip(jax.tree.leaves(ref_s), jax.tree.leaves(s)):
+                a, b = np.asarray(a), np.asarray(b)
+                scale = np.abs(a).max() + 1e-12
+                assert np.abs(a - b).max() / scale < t, (var, a.shape)
+
+    def test_production_default_parity(self, monkeypatch):
+        """The no-env production default (all tiers bf16x3) vs exact."""
+        import numpy as np
+
+        ref_s, _ = self._run(monkeypatch, self._ALL_HIGHEST)
+        s, _ = self._run(monkeypatch, {})
+        for a, b in zip(jax.tree.leaves(ref_s), jax.tree.leaves(s)):
+            a, b = np.asarray(a), np.asarray(b)
+            scale = np.abs(a).max() + 1e-12
+            assert np.abs(a - b).max() / scale < 1e-3, a.shape

@@ -154,3 +154,29 @@ class TestTPULoweringDiagFamily:
             lambda p, A, W, f: pallas_estep_fused(p, A, W, f, emit_gamma=False),
             LOG_PI, LOG_A, wmat, feats,
         )
+
+
+class TestTPULoweringBf16x3:
+    """The extended "bf16x3" in-kernel precision spec (3-pass bf16-split
+    emulation of HIGH, messages/pallas_fb.py::_kdot) must stay
+    Mosaic-legal: it lowers each pass as a DEFAULT-precision dot plus VPU
+    casts, sidestepping Mosaic's rejection of lax.Precision.HIGH."""
+
+    def test_fused_all_tiers_bf16x3(self):
+        _lowers(
+            lambda p, A, W, f: pallas_estep_fused(
+                p, A, W, f, emit_gamma=True,
+                precision="bf16x3", ll_precision="bf16x3",
+                stats_precision="bf16x3",
+            ),
+            LOG_PI, LOG_A, WMAT, FEATS,
+        )
+
+    def test_split_kernel_bf16x3(self):
+        _lowers(
+            lambda p, A, l: pallas_forward_backward_batched(
+                p, A, l, time_major=True, packed_gamma=True,
+                precision="bf16x3",
+            ),
+            LOG_PI, LOG_A, LL,
+        )
