@@ -50,6 +50,11 @@ class RunConfig:
     # dataset). 0 disables (single uninterrupted compiled fit).
     pred_ll_every: int = 0
     holdout_seqs: int = 8
+    # NaN debugging (SURVEY.md §5 sanitizers row): when true the runner
+    # flips jax_debug_nans on, so the first non-finite intermediate raises
+    # at its producing op (with a de-optimized re-run pinpointing it)
+    # instead of surfacing later through the trainer watchdog.
+    debug_nans: bool = False
 
 
 @dataclass

@@ -43,6 +43,8 @@ from pysvihmm_tpu.utils.logging import MetricsLogger
 
 def main(argv=None):
     cfg = parse_config(argv)
+    if cfg.run.debug_nans:
+        jax.config.update("jax_debug_nans", True)
     key = jax.random.PRNGKey(cfg.run.seed)
     log = MetricsLogger(cfg.run.log_path or None)
 
