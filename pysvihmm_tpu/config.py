@@ -12,7 +12,7 @@ from dataclasses import dataclass, field
 @dataclass
 class ModelConfig:
     K: int = 4  # hidden states
-    emission: str = "gaussian"  # "gaussian" | "diag_gaussian" | "multinomial"
+    emission: str = "gaussian"  # "gaussian" | "diag_gaussian" | "multinomial" | "poisson"
     obs_dim: int = 2  # D (gaussian)
     num_symbols: int = 32  # V (multinomial)
     alpha_init: float = 1.0  # Dirichlet prior on pi

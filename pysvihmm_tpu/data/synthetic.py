@@ -16,6 +16,7 @@ from ..distributions.emissions import (
     DiagonalGaussianNIG,
     GaussianNIW,
     MultinomialDirichlet,
+    PoissonGamma,
 )
 
 
@@ -136,4 +137,31 @@ def gen_multinomial_dataset(
     kp, kd = jax.random.split(key)
     params = make_multinomial_params(kp, K, V, **kw)
     y, z = gen_data(kd, params, MultinomialDirichlet, num_seqs=num_seqs, T=T)
+    return y, z, params
+
+
+def make_poisson_params(
+    key: jax.Array,
+    K: int,
+    D: int,
+    *,
+    rate_scale: float = 10.0,
+    self_prob: float = 0.8,
+) -> TrueParams:
+    """Well-separated per-state rate vectors: theta = lambda (K, D) drawn
+    log-uniform in [rate_scale/10, rate_scale] so states differ by up to
+    10x per dimension."""
+    pi = jnp.full((K,), 1.0 / K)
+    A = _sticky_transitions(K, self_prob)
+    u = jax.random.uniform(key, (K, D))
+    lam = rate_scale / 10.0 * (10.0**u)
+    return TrueParams(pi=pi, A=A, theta=lam)
+
+
+def gen_poisson_dataset(
+    key: jax.Array, K: int, D: int, num_seqs: int, T: int, **kw
+) -> tuple[jax.Array, jax.Array, TrueParams]:
+    kp, kd = jax.random.split(key)
+    params = make_poisson_params(kp, K, D, **kw)
+    y, z = gen_data(kd, params, PoissonGamma, num_seqs=num_seqs, T=T)
     return y, z, params

@@ -14,6 +14,8 @@ Families:
     ``pybasicbayes`` ``DiagonalGaussian``).
   * :class:`MultinomialDirichlet` — categorical emissions over V symbols
     under a Dirichlet prior (reference: ``pybasicbayes`` ``Multinomial``).
+  * :class:`PoissonGamma` — per-dimension Poisson counts under conjugate
+    Gamma priors (extension beyond the reference's family list).
 
 Families exposing ``ell_features`` / ``ell_feature_matrix`` /
 ``unpack_flat_stats`` plug directly into the fused Pallas E-step
@@ -28,9 +30,10 @@ from typing import Any, NamedTuple
 import jax
 import jax.numpy as jnp
 
-from . import diag_gaussian, dirichlet, niw
+from . import diag_gaussian, dirichlet, niw, poisson
 from .diag_gaussian import NIG, DiagGaussianStats
 from .niw import NIW, GaussianStats
+from .poisson import GammaP, PoissonStats
 
 
 class GaussianNIW:
@@ -265,3 +268,80 @@ class MultinomialDirichlet:
     def unpack_flat_stats(params: jax.Array, S: jax.Array) -> jax.Array:
         """(K, V) fused-kernel accumulator IS the Dirichlet stats matrix."""
         return S
+
+
+class PoissonGamma:
+    """Poisson-count emissions, per-dim Gamma prior. Params: :class:`GammaP` (K, D)."""
+
+    name = "poisson_gamma"
+
+    @staticmethod
+    def make_prior(K: int, obs_dim: int, dtype=jnp.float32, **kw) -> GammaP:
+        return poisson.make_prior(K, obs_dim, dtype=dtype, **kw)
+
+    @staticmethod
+    def expected_log_likelihood(params: GammaP, y: jax.Array) -> jax.Array:
+        """y (..., D) float counts -> (..., K)."""
+        return poisson.expected_log_likelihood(params, y)
+
+    @staticmethod
+    def ell_features(y: jax.Array) -> jax.Array:
+        """Shared per-observation features [1, y, sum log y!] (width 2+D)."""
+        return poisson.ell_features(y)
+
+    @staticmethod
+    def ell_feature_matrix(params: GammaP) -> jax.Array:
+        return poisson.ell_feature_matrix(params)
+
+    @staticmethod
+    def suff_stats(gamma: jax.Array, y: jax.Array) -> PoissonStats:
+        return poisson.suff_stats(gamma, y)
+
+    @staticmethod
+    def zero_stats(params: GammaP) -> PoissonStats:
+        K, D = params.a.shape[-2], params.a.shape[-1]
+        z, dt = jnp.zeros, params.a.dtype
+        return PoissonStats(n=z((K,), dt), sum_y=z((K, D), dt))
+
+    @staticmethod
+    def posterior(prior: GammaP, stats: PoissonStats) -> GammaP:
+        return poisson.posterior(prior, stats)
+
+    @staticmethod
+    def nat_grad_step(q: GammaP, prior: GammaP, stats: PoissonStats, scale, rho) -> GammaP:
+        return poisson.nat_grad_step(q, prior, stats, scale, rho)
+
+    @staticmethod
+    def kl(q: GammaP, p: GammaP) -> jax.Array:
+        return jnp.sum(poisson.kl(q, p))
+
+    @staticmethod
+    def mean_params(q: GammaP) -> jax.Array:
+        return poisson.mean_params(q)
+
+    @staticmethod
+    def point_log_likelihood(theta: jax.Array, y: jax.Array) -> jax.Array:
+        """theta = lambda (K, D) rates; y (..., D) -> (..., K)."""
+        return poisson.poisson_log_likelihood(theta, y)
+
+    @staticmethod
+    def predictive_log_likelihood(params: GammaP, y: jax.Array) -> jax.Array:
+        """Exact posterior-predictive (per-dim negative binomial product)."""
+        return poisson.predictive_log_likelihood(params, y)
+
+    @staticmethod
+    def sample_params(key: jax.Array, q: GammaP) -> jax.Array:
+        return poisson.sample_params(key, q)
+
+    @staticmethod
+    def sample_obs(key: jax.Array, theta: jax.Array, z: jax.Array) -> jax.Array:
+        """Sample y_t | z_t for an int state path z (...,); returns float32
+        counts (the engines' observation dtype)."""
+        return jax.random.poisson(key, theta[z]).astype(theta.dtype)
+
+    @staticmethod
+    def unpack_flat_stats(params: GammaP, S: jax.Array) -> PoissonStats:
+        """(K, 2+D) fused-kernel accumulator -> PoissonStats (the trailing
+        log-factorial column is not a sufficient statistic; dropped)."""
+        D = params.a.shape[-1]
+        return PoissonStats(n=S[:, 0], sum_y=S[:, 1 : 1 + D])

@@ -419,7 +419,7 @@ def _packed_emission_stats(
         )
         return sum(acc[p * K : (p + 1) * K, p * V : (p + 1) * V] for p in range(P))
 
-    K = emit_params.mean.shape[0]
+    K = jax.tree.leaves(emit_params)[0].shape[0]
     P = PK // K
     if feats is None:
         feats = emission.ell_features(obs_tm)

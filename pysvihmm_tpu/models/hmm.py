@@ -23,6 +23,7 @@ from ..distributions.emissions import (
     DiagonalGaussianNIG,
     GaussianNIW,
     MultinomialDirichlet,
+    PoissonGamma,
 )
 from ..utils.precision import f32_matmuls
 
@@ -33,6 +34,7 @@ EMISSION_FAMILIES = {
     "gaussian": GaussianNIW,
     "diag_gaussian": DiagonalGaussianNIG,
     "multinomial": MultinomialDirichlet,
+    "poisson": PoissonGamma,
 }
 
 
@@ -77,6 +79,8 @@ def make_prior(
         emit = DiagonalGaussianNIG.make_prior(K, obs_dim, dtype=dtype, **emission_kw)
     elif emission is MultinomialDirichlet:
         emit = MultinomialDirichlet.make_prior(K, num_symbols, dtype=dtype, **emission_kw)
+    elif emission is PoissonGamma:
+        emit = PoissonGamma.make_prior(K, obs_dim, dtype=dtype, **emission_kw)
     else:
         raise ValueError(f"unknown emission family {emission}")
     return HMMParams(
@@ -126,6 +130,12 @@ def init_params(
         emit = emit._replace(mean=_farthest_point_means(k3, flat, K))
     elif emission is MultinomialDirichlet:
         emit = prior.emit + jax.random.uniform(k3, prior.emit.shape, prior.emit.dtype, 0.0, 1.0)
+    elif emission is PoissonGamma and obs_sample is not None:
+        # seed posterior-mean rates E[lambda] = a/b at farthest-point
+        # count vectors (the Gaussian families' seeding, in rate space)
+        flat = obs_sample.reshape(-1, obs_sample.shape[-1]).astype(prior.emit.a.dtype)
+        m = jnp.maximum(_farthest_point_means(k3, flat, K), 0.1)
+        emit = emit._replace(a=m * prior.emit.b)
     return HMMParams(init=init, trans=trans, emit=emit)
 
 

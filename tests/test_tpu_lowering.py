@@ -180,3 +180,17 @@ class TestTPULoweringBf16x3:
             ),
             LOG_PI, LOG_A, LL,
         )
+
+
+class TestTPULoweringPoissonFamily:
+    """Feature width 2 + D (PoissonGamma: [1, y, sum log y!]) lowers via
+    Mosaic — the narrowest lane packing of the fused kernels."""
+
+    def test_fused_poisson_features(self):
+        F_pois = 2 + D
+        feats = jax.ShapeDtypeStruct((T, B, F_pois), jnp.float32)
+        wmat = jax.ShapeDtypeStruct((F_pois, K), jnp.float32)
+        _lowers(
+            lambda p, A, W, f: pallas_estep_fused(p, A, W, f, emit_gamma=False),
+            LOG_PI, LOG_A, wmat, feats,
+        )
