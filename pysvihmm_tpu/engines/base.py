@@ -120,6 +120,8 @@ def _pallas_packed_estep(params, emission, obs, weights=None):
             ll_tm = emission.expected_log_likelihood(params.emit, obs_tm)
 
     w_tm = jnp.swapaxes(weights, 0, 1) if weights is not None else None
+    from ..messages.pallas_fb import kernel_precisions
+
     fb = pallas_forward_backward_batched(
         log_pi,
         log_A,
@@ -130,6 +132,8 @@ def _pallas_packed_estep(params, emission, obs, weights=None):
         # Mosaic requires a TPU; everywhere else run the same kernels
         # under the pallas interpreter (tests, CPU fallback)
         interpret=not on_tpu(),
+        # same chain-tier policy as the fused path (bf16x3 default)
+        precision=kernel_precisions()[0],
     )
     # Emission stats read gamma in its PACKED kernel layout (no XLA
     # re-layout copy of the whole array); weights fold into the
@@ -411,11 +415,14 @@ def _packed_emission_stats(
         if weights_tm is not None:
             feats = feats * weights_tm[..., None]
         f2 = feats.reshape(T * R, P * V)
+        from ..messages.pallas_fb import kernel_precisions
+        from ..utils.precision import xla_tier
+
         acc = jax.lax.dot_general(
             g2, f2, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            # one-shot sum, but full f32: see the Gaussian branch below
-            precision=jax.lax.Precision.HIGHEST,
+            # one-shot sum on the stats tier: see the Gaussian branch below
+            precision=xla_tier(kernel_precisions()[2]),
         )
         return sum(acc[p * K : (p + 1) * K, p * V : (p + 1) * V] for p in range(P))
 
@@ -427,16 +434,21 @@ def _packed_emission_stats(
     if weights_tm is not None:
         feats = feats * weights_tm[..., None]
     f2 = feats.reshape(T * R, P * F)
-    # Full-f32 sum, NOT 1-pass bf16: the y (x) y second moments feed NIW
-    # posteriors whose psi = eta3 - kappa m m^T must stay PSD, and a
-    # rho ~ 1 SVI step amplifies the raw stats by dataset/minibatch scale —
-    # bf16's ~4e-3 per-term rounding (NOT sign-symmetric on the positive
+    # NOT 1-pass bf16: the y (x) y second moments feed NIW posteriors
+    # whose psi = eta3 - kappa m m^T must stay PSD, and a rho ~ 1 SVI
+    # step amplifies the raw stats by dataset/minibatch scale — bf16's
+    # ~4e-3 per-term rounding (NOT sign-symmetric on the positive
     # yy-diagonal) broke psi's PSD margin for weak states in real training
-    # (NaN on the second SVI step at K=64/D=8, caught on-chip).
+    # (NaN on the second SVI step at K=64/D=8, caught on-chip). Follows
+    # the stats precision tier (default bf16x3 -> XLA-native 3-pass HIGH,
+    # ~1000x margin above that failure; utils/precision.py).
+    from ..messages.pallas_fb import kernel_precisions
+    from ..utils.precision import xla_tier
+
     acc = jax.lax.dot_general(
         g2, f2, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=xla_tier(kernel_precisions()[2]),
     )
     S = sum(acc[p * K : (p + 1) * K, p * F : (p + 1) * F] for p in range(P))
     return _unpack_emit_stats(emission, emit_params, S)

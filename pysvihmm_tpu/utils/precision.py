@@ -83,3 +83,12 @@ def bulk_precision():
     production scale); see the module docstring for the error analysis.
     """
     return jax.default_matmul_precision("high")
+
+
+def xla_tier(tier):
+    """Map an in-kernel precision spec (lax.Precision or "bf16x3") to the
+    equivalent XLA dot precision for ops OUTSIDE the Pallas kernels:
+    "bf16x3" is the in-kernel emulation of XLA's native 3-pass HIGH."""
+    if tier == "bf16x3":
+        return jax.lax.Precision.HIGH
+    return tier

@@ -55,17 +55,28 @@ def _lower_local_step(method):
 
 
 def test_pallas_path_precision_tiers():
-    """The production E-step carries its precision tiers at once."""
+    """The production E-step carries its precision tiers at once: the
+    likelihood einsum under bulk_precision() and the XLA-side emission
+    stat contraction on the stats tier (default bf16x3 -> native HIGH),
+    with the chain dots' precision living INSIDE the tpu_custom_call."""
     txt = _lower_local_step("pallas")
     dots = _dot_lines(txt)
-    # chain / quadratic-form / emission-stat dots under the engine-wide f32
-    # guard (and the kernels' explicit HIGHEST). Emission stats are HIGHEST
-    # too since the bf16-stats PSD failure (utils/precision.py).
-    assert any("[HIGHEST, HIGHEST]" in l for l in dots)
-    # likelihood einsum under bulk_precision(): 3-pass HIGH
     assert any("[HIGH, HIGH]" in l for l in dots)
-    # nothing on this path may run at 1-pass bf16
-    assert not any("[DEFAULT, DEFAULT]" in l for l in dots)
+    # no FLOAT32 dot may run at 1-pass bf16; DEFAULT-precision dots over
+    # explicitly-bf16 operands are the interpret-mode rendering of the
+    # kernels' bf16x3 emulation passes (exact native-bf16 MXU passes)
+    assert not any(
+        "[DEFAULT, DEFAULT]" in l and "xbf16" not in l for l in dots
+    )
+    # "highest" env restores full-f32 stat sums
+    import os
+
+    os.environ["PYSVIHMM_STATS_PREC"] = "highest"
+    try:
+        txt_hi = _lower_local_step("pallas")
+    finally:
+        del os.environ["PYSVIHMM_STATS_PREC"]
+    assert any("[HIGHEST, HIGHEST]" in l for l in _dot_lines(txt_hi))
 
 
 def test_scan_path_has_no_default_precision_dots():
