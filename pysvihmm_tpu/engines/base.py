@@ -9,6 +9,7 @@ turn stats into the next global state.
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax
@@ -238,6 +239,13 @@ def _pallas_fused_estep(params, emission, obs, weights=None, need_gamma=True):
     if emission is MultinomialDirichlet and params.emit.shape[-1] > ONE_HOT_MAX_V:
         return _pallas_packed_estep(params, emission, obs, weights)
 
+    estep = pallas_estep_fused
+    if os.environ.get("PYSVIHMM_DUPLEX"):
+        # experimental: overlap the two chain recursions in one kernel
+        # (messages/pallas_duplex.py) — same contract, measured A/B in
+        # bench_results/
+        from ..messages.pallas_duplex import pallas_estep_duplex as estep
+
     prec, ll_prec, stats_prec = kernel_precisions()
 
     log_pi, log_A = expected_log_params(params)
@@ -249,7 +257,7 @@ def _pallas_fused_estep(params, emission, obs, weights=None, need_gamma=True):
         emission, params.emit, obs_tm, params.init.shape[0]
     )
     w_tm = jnp.swapaxes(weights, 0, 1) if weights is not None else None
-    fb, S = pallas_estep_fused(
+    fb, S = estep(
         log_pi,
         log_A,
         W,
