@@ -32,6 +32,7 @@ from pysvihmm_tpu.data.synthetic import (
     gen_diag_gaussian_dataset,
     gen_gaussian_dataset,
     gen_multinomial_dataset,
+    gen_poisson_dataset,
 )
 from pysvihmm_tpu.engines import batch_sgd, batch_vb, gibbs, metaobs, svi
 from pysvihmm_tpu.engines.base import decode, lower_bound, predictive_log_likelihood
@@ -59,6 +60,12 @@ def main(argv=None):
         obs, z_true, _ = gen_diag_gaussian_dataset(
             key, cfg.model.K, cfg.model.obs_dim, num_seqs=64, T=500,
             mean_scale=6.0, var_scale=0.3,
+        )
+        size_kw = dict(obs_dim=cfg.model.obs_dim)
+    elif cfg.model.emission == "poisson":
+        obs, z_true, _ = gen_poisson_dataset(
+            key, cfg.model.K, cfg.model.obs_dim, num_seqs=64, T=500,
+            rate_scale=25.0,
         )
         size_kw = dict(obs_dim=cfg.model.obs_dim)
     else:
