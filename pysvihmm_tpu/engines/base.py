@@ -164,6 +164,18 @@ def _fused_feats_W(emission, emit_params, obs_tm, K):
         concat is worse than the reshape it avoids: MEASURED 44.0k.
         (This was briefly the default via an end-of-round-2 WIP snapshot;
         BENCH_r02.json's 44k records exactly that regression.)
+      * PYSVIHMM_BLOCKED_FEATS: contiguous-block slots (b = p*R + r; no
+        strided slices) — the ragged 73+73 lane concat alone is the
+        disaster, contiguity does not save it: MEASURED 36.5k. NOTE:
+        permutes per-sequence output order; sum-consumers only.
+      * PYSVIHMM_PAD128_FEATS: zero-pad F to the 128-lane tile boundary
+        so the packed reshape is lane-aligned — the +75% likelihood/stat
+        matmul width costs more than the relayout it saves:
+        MEASURED 94.6k.
+    The optimized-HLO profile (bench_results/r3_profile_fused.txt) puts
+    the dense route's packed-reshape materialization at ~1.6 ms of the
+    9.5 ms E-step; all four attempted avoidance routes measured slower
+    than paying it.
 
     MultinomialDirichlet passes dense one-hot features with kind None,
     W = E[log phi]^T.
@@ -194,6 +206,38 @@ def _fused_feats_W(emission, emit_params, obs_tm, K):
         if P > 1:
             feats = jnp.concatenate(
                 [emission.ell_features(obs_tm[:, p::P]) for p in range(P)], axis=-1
+            )
+            return feats, Wm, None, P
+    if os.environ.get("PYSVIHMM_PAD128_FEATS"):
+        # MEASUREMENT experiment: pad the feature width to the 128-lane
+        # tile boundary with zero columns (matching zero rows in W — the
+        # likelihoods and stats are exact; pad stat columns are zeros).
+        # The feats array's PHYSICAL traffic is unchanged (73 lanes were
+        # already padded to 128 in HBM tiles); the packed reshape
+        # (T,B,128)->(T,R,256) becomes lane-aligned.
+        feats = emission.ell_features(obs_tm)
+        F = feats.shape[-1]
+        Fp = -(-F // 128) * 128
+        if Fp != F:
+            feats = jnp.pad(feats, ((0, 0), (0, 0), (0, Fp - F)))
+            Wm = jnp.pad(Wm, ((0, Fp - F), (0, 0)))
+        return feats, Wm, None, 0
+    if os.environ.get("PYSVIHMM_BLOCKED_FEATS"):
+        # MEASUREMENT-ONLY experiment: build feats per CONTIGUOUS B-block
+        # (slot p = sequences [p*R, (p+1)*R)) instead of the interleaved
+        # b = r*P+p convention — no strided slices, no whole-array packed
+        # reshape. PERMUTES the per-sequence output order (log_c rows,
+        # init_stats rows, packed gamma): only sum-consumers (the bench,
+        # batch global updates) see identical results. Not a production
+        # route until the unpacking convention is switched to match.
+        B = obs_tm.shape[1]
+        P = _choose_packing(B, K)
+        if P > 1:
+            R = B // P
+            feats = jnp.concatenate(
+                [emission.ell_features(obs_tm[:, p * R : (p + 1) * R])
+                 for p in range(P)],
+                axis=-1,
             )
             return feats, Wm, None, P
     return emission.ell_features(obs_tm), Wm, None, 0
@@ -249,7 +293,12 @@ def _pallas_fused_estep(params, emission, obs, weights=None, need_gamma=True):
     prec, ll_prec, stats_prec = kernel_precisions()
 
     log_pi, log_A = expected_log_params(params)
-    if obs.ndim == 3:
+    if obs.ndim == 3 and os.environ.get("PYSVIHMM_OBS_BARRIER"):
+        # measurement knob, OFF by default: forcing the (B, T, D)
+        # transpose to materialize costs a full pass over the LANE-PADDED
+        # array (D=8 pads 16x to 128 lanes: ~1.25 ms of the 9.5 ms
+        # headline E-step, the profile's copy.80). Without the barrier
+        # XLA folds the transpose into the feature-construction reads.
         obs_tm = jax.lax.optimization_barrier(jnp.swapaxes(obs, 0, 1))
     else:
         obs_tm = jnp.swapaxes(obs, 0, 1)
@@ -272,6 +321,10 @@ def _pallas_fused_estep(params, emission, obs, weights=None, need_gamma=True):
         ll_precision=ll_prec,
         stats_precision=stats_prec,
     )
+    if os.environ.get("PYSVIHMM_PAD128_FEATS") and hasattr(
+        emission, "ell_feature_matrix"
+    ):
+        S = S[:, : emission.ell_feature_matrix(params.emit).shape[0]]
     return fb, _unpack_emit_stats(emission, params.emit, S)
 
 
