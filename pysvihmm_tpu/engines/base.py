@@ -361,14 +361,14 @@ def windowed_local_step(
         K = params.init.shape[0]
         P = gamma_packed.shape[-1] // K
 
-        def gather_at(i, o):
-            # window i lives in packed row i // P, lane block i % P
-            blk = jax.lax.dynamic_slice(
-                gamma_packed, (o, i // P, (i % P) * K), (1, 1, K)
-            )
-            return blk.reshape(K)
-
-        gamma_at = jax.vmap(gather_at)(jnp.arange(B), offs)
+        # window i lives in packed row i // P, lane block i % P. ONE
+        # batched gather + a lane take_along_axis — a vmapped
+        # dynamic_slice here lowers to a SEQUENTIAL B-iteration device
+        # loop (see _gather_windows), ~0.9 ms of the 3.9 ms SVI step.
+        iw = jnp.arange(B)
+        g_rows = gamma_packed[offs, iw // P]  # (B, P*K)
+        lanes = (iw % P)[:, None] * K + jnp.arange(K)[None, :]
+        gamma_at = jnp.take_along_axis(g_rows, lanes, axis=1)
         return emit_stats, fb.trans_stats, gamma_at, fb.log_c
 
     log_pi, log_A = expected_log_params(params)
@@ -376,7 +376,9 @@ def windowed_local_step(
     fb = messages.e_step_batched(log_pi, log_A, ll, weights=maskf, method=method)
     gamma_w = fb.gamma * maskf[..., None]
     emit_stats = emission_flat_stats(emission, params.emit, gamma_w, windows)
-    gamma_at = jax.vmap(lambda g, o: g[o])(fb.gamma, offs)
+    gamma_at = jnp.take_along_axis(
+        fb.gamma, offs[:, None, None], axis=1
+    )[:, 0, :]
     return emit_stats, fb.trans_stats, gamma_at, fb.log_c
 
 
