@@ -361,14 +361,17 @@ def windowed_local_step(
         K = params.init.shape[0]
         P = gamma_packed.shape[-1] // K
 
-        # window i lives in packed row i // P, lane block i % P. ONE
-        # batched gather + a lane take_along_axis — a vmapped
-        # dynamic_slice here lowers to a SEQUENTIAL B-iteration device
-        # loop (see _gather_windows), ~0.9 ms of the 3.9 ms SVI step.
-        iw = jnp.arange(B)
-        g_rows = gamma_packed[offs, iw // P]  # (B, P*K)
-        lanes = (iw % P)[:, None] * K + jnp.arange(K)[None, :]
-        gamma_at = jnp.take_along_axis(g_rows, lanes, axis=1)
+        # window i lives in packed row i // P, lane block i % P, i.e. the
+        # packed (W, R, P*K) array viewed as (W, B, K) has window i's
+        # smoothed marginals at [:, i, :] — a pure lane-split reshape.
+        # Selecting time offs[i] per window as a one-hot CONTRACTION
+        # reads the array once at full bandwidth; both a vmapped
+        # dynamic_slice (a SEQUENTIAL B-iteration device loop) and an
+        # elementwise take_along_axis gather (B*K scalar descriptors,
+        # ~0.5 ms) measured far slower at B=1024 (r3_tpu.jsonl).
+        gview = gamma_packed.reshape(gamma_packed.shape[0], B, K)
+        sel = jax.nn.one_hot(offs, gamma_packed.shape[0], dtype=gview.dtype)
+        gamma_at = jnp.einsum("wbk,bw->bk", gview, sel)
         return emit_stats, fb.trans_stats, gamma_at, fb.log_c
 
     log_pi, log_A = expected_log_params(params)

@@ -115,10 +115,14 @@ def _gather_windows(obs: jax.Array, window_starts: jax.Array, W: int) -> jax.Arr
     A vmapped `dynamic_slice` lowers to a SEQUENTIAL while-loop over the B
     batched start indices on TPU — profiled at 2.7 ms of the 3.9 ms
     production SVI step at B=1024 (71%, two 1024-iteration device loops;
-    bench_results/r3_tpu.jsonl). One `take` over precomputed (B, W) row
-    indices is a single parallel gather instead. Starts are pre-clipped to
-    [0, T-W] by the callers; mode="clip" keeps even a bad caller in-bounds
-    rather than UB.
+    bench_results/r3_tpu.jsonl). A `take` over precomputed (B, W) row
+    indices is ONE parallel gather (B*W single-row descriptors, ~0.6 ms —
+    row-granularity-bound but 4x+ faster than the loop). The tempting
+    third form — lax.gather with slice_sizes=(W, ...) and only B
+    descriptors of contiguous slices — lowers BACK to a sequential
+    device loop (multi-row slice gathers are not native) and was
+    measured slower; don't. Starts are pre-clipped to [0, T-W] by the
+    callers; clip mode keeps even a bad caller in-bounds rather than UB.
     """
     idx = window_starts[:, None] + jnp.arange(W, dtype=window_starts.dtype)
     return jnp.take(obs, idx, axis=0, mode="clip")
