@@ -42,6 +42,7 @@ def batch_local_step(
     method: str = "auto",
     weights: jax.Array | None = None,
     need_gamma: bool = True,
+    prepared=None,
 ) -> tuple[LocalStats, jax.Array]:
     """Full local update over a batch of sequences.
 
@@ -63,7 +64,8 @@ def batch_local_step(
 
     if method == "pallas_fused":
         fb, emit_stats = _pallas_fused_estep(
-            params, emission, obs, weights, need_gamma=need_gamma
+            params, emission, obs, weights, need_gamma=need_gamma,
+            prepared=prepared,
         )
         if need_gamma:
             fb = fb._replace(gamma=jnp.swapaxes(fb.gamma.reshape(T, B, K), 0, 1))
@@ -261,7 +263,56 @@ def _fused_tiles_override():
     return (int(a), int(b))
 
 
-def _pallas_fused_estep(params, emission, obs, weights=None, need_gamma=True):
+def _fused_W(emission, emit_params):
+    """The fused kernels' (F, K) weight matrix — the only params-dependent
+    half of :func:`_fused_feats_W`."""
+    from ..distributions import dirichlet
+    from ..distributions.emissions import MultinomialDirichlet
+
+    if emission is MultinomialDirichlet:
+        return jnp.swapaxes(dirichlet.expected_log_probs(emit_params), 0, 1)
+    return emission.ell_feature_matrix(emit_params)
+
+
+def prepare_fused_obs(params, emission, obs):
+    """Precompute the fused E-step's OBSERVATION-side inputs once.
+
+    The feature array (and its packed-layout reshape) depends only on the
+    data — for engines whose data is fixed across iterations (batch
+    VB/SGD, repeated decodes) it is loop-invariant, but XLA does NOT
+    hoist it out of a `lax.scan` on its own (profiled: the construction
+    + packed-reshape relayout ran inside every benchmark iteration, ~2.8
+    of 9.5 ms at the K=64/T=1k headline — bench_results/
+    r3_profile_fused.txt). Build it ONCE here and pass the result to
+    :func:`batch_local_step` via ``prepared=``; params-dependent W is
+    still rebuilt per step.
+
+    Returns (packed feats, kind, packing), or None when the fused path
+    will not consume it (large-vocabulary multinomial fallback).
+    Ignores the experimental PYSVIHMM_*_FEATS measurement knobs (the
+    production dense route only).
+    """
+    from ..distributions.emissions import MultinomialDirichlet
+    from ..messages.pallas_fb import _choose_packing
+    from ..models.hmm import ONE_HOT_MAX_V
+
+    if emission is MultinomialDirichlet and params.emit.shape[-1] > ONE_HOT_MAX_V:
+        return None
+    obs_tm = jnp.swapaxes(obs, 0, 1)
+    if emission is MultinomialDirichlet:
+        feats = jax.nn.one_hot(obs_tm, params.emit.shape[-1], dtype=jnp.float32)
+    else:
+        feats = emission.ell_features(obs_tm).astype(jnp.float32)
+    T, B, Fin = feats.shape
+    K = params.init.shape[0]
+    P = _choose_packing(B, K)
+    if P > 1:
+        feats = feats.reshape(T, B // P, P * Fin)
+    return (feats, None, P if P > 1 else 0)
+
+
+def _pallas_fused_estep(params, emission, obs, weights=None, need_gamma=True,
+                        prepared=None):
     """Fully-fused kernel E-step (likelihoods + FB + all stats in-kernel).
 
     Returns (FBResult with gamma packed (T, B/P, P*K) or None, emission
@@ -293,18 +344,22 @@ def _pallas_fused_estep(params, emission, obs, weights=None, need_gamma=True):
     prec, ll_prec, stats_prec = kernel_precisions()
 
     log_pi, log_A = expected_log_params(params)
-    if obs.ndim == 3 and os.environ.get("PYSVIHMM_OBS_BARRIER"):
-        # measurement knob, OFF by default: forcing the (B, T, D)
-        # transpose to materialize costs a full pass over the LANE-PADDED
-        # array (D=8 pads 16x to 128 lanes: ~1.25 ms of the 9.5 ms
-        # headline E-step, the profile's copy.80). Without the barrier
-        # XLA folds the transpose into the feature-construction reads.
-        obs_tm = jax.lax.optimization_barrier(jnp.swapaxes(obs, 0, 1))
+    if prepared is not None:
+        feats, kind, packing = prepared
+        W = _fused_W(emission, params.emit)
     else:
-        obs_tm = jnp.swapaxes(obs, 0, 1)
-    feats, W, kind, packing = _fused_feats_W(
-        emission, params.emit, obs_tm, params.init.shape[0]
-    )
+        if obs.ndim == 3 and os.environ.get("PYSVIHMM_OBS_BARRIER"):
+            # measurement knob, OFF by default: forcing the (B, T, D)
+            # transpose to materialize costs a full pass over the
+            # LANE-PADDED array (D=8 pads 16x to 128 lanes). Without the
+            # barrier XLA folds the transpose into the feature-
+            # construction reads (throughput-neutral, measured).
+            obs_tm = jax.lax.optimization_barrier(jnp.swapaxes(obs, 0, 1))
+        else:
+            obs_tm = jnp.swapaxes(obs, 0, 1)
+        feats, W, kind, packing = _fused_feats_W(
+            emission, params.emit, obs_tm, params.init.shape[0]
+        )
     w_tm = jnp.swapaxes(weights, 0, 1) if weights is not None else None
     fb, S = estep(
         log_pi,

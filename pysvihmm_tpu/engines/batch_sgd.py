@@ -17,7 +17,8 @@ import jax.numpy as jnp
 from ..distributions import dirichlet
 from ..models.hmm import HMMParams
 from ..utils.schedules import power_schedule
-from .base import batch_local_step, elbo_from_stats
+from .. import messages
+from .base import batch_local_step, elbo_from_stats, prepare_fused_obs
 from ..utils.precision import f32_matmuls
 
 
@@ -62,12 +63,27 @@ def fit_state(
 ) -> tuple[BatchSGDState, jax.Array]:
     """State-in/state-out fit so callers can run in segments (periodic
     held-out scoring, checkpointing) without restarting the rho_t schedule
-    — the step counter rides in the state."""
-    step = make_step(emission, tau, kappa, method)
+    — the step counter rides in the state. The fused path's data-only
+    feature array is hoisted out of the scan once (batch_vb.fit note)."""
+    prepared = None
+    if messages.resolve_method(method, time_len=obs.shape[1]) == "pallas_fused":
+        prepared = prepare_fused_obs(state.params, emission, obs)
 
+    @f32_matmuls
     def body(s, _):
-        s2, elbo = step(s, prior, obs)
-        return s2, elbo
+        params = s.params
+        stats, _ = batch_local_step(params, emission, obs, method,
+                                    prepared=prepared)
+        elbo = elbo_from_stats(params, prior, emission, stats.log_z)
+        rho = power_schedule(s.step.astype(params.init.dtype), tau, kappa)
+        new_params = HMMParams(
+            init=dirichlet.nat_grad_step(params.init, prior.init, stats.init, 1.0, rho),
+            trans=dirichlet.nat_grad_step(
+                params.trans, prior.trans, stats.trans, 1.0, rho
+            ),
+            emit=emission.nat_grad_step(params.emit, prior.emit, stats.emit, 1.0, rho),
+        )
+        return BatchSGDState(params=new_params, step=s.step + 1), elbo
 
     return jax.lax.scan(body, state, None, length=num_iters)
 

@@ -20,10 +20,11 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from .. import messages
 from ..distributions import dirichlet
 from ..models.hmm import HMMParams, init_params
 from ..utils.precision import f32_matmuls
-from .base import batch_local_step, elbo_from_stats
+from .base import batch_local_step, elbo_from_stats, prepare_fused_obs
 
 
 class BatchVBState(NamedTuple):
@@ -63,11 +64,27 @@ def fit(
     stopping is done host-side by the caller if needed (the reference stops
     on relative ELBO change; we return the full history instead so the loop
     stays device-resident).
-    """
-    step = make_step(emission, method)
 
+    On the fused TPU path, the per-observation feature array (data-only,
+    hence loop-invariant for THIS engine) is precomputed once outside the
+    scan — XLA does not hoist it by itself, and it costs ~30% of the
+    fused E-step when rebuilt every iteration (engines/base.py::
+    prepare_fused_obs). The scan closure makes it a loop-invariant
+    operand.
+    """
+    prepared = None
+    if messages.resolve_method(method, time_len=obs.shape[1]) == "pallas_fused":
+        prepared = prepare_fused_obs(params, emission, obs)
+
+    @f32_matmuls
     def body(p, _):
-        new_p, elbo = step(p, prior, obs)
+        stats, _ = batch_local_step(p, emission, obs, method, prepared=prepared)
+        elbo = elbo_from_stats(p, prior, emission, stats.log_z)
+        new_p = HMMParams(
+            init=dirichlet.posterior(prior.init, stats.init),
+            trans=dirichlet.posterior(prior.trans, stats.trans),
+            emit=emission.posterior(prior.emit, stats.emit),
+        )
         return new_p, elbo
 
     final, elbos = jax.lax.scan(body, params, None, length=num_iters)
