@@ -111,12 +111,20 @@ class GaussianNIW:
 
     @staticmethod
     def unpack_flat_stats(params: NIW, S: jax.Array) -> GaussianStats:
-        """(K, 1+D+D^2) fused-kernel accumulator -> GaussianStats."""
+        """(K, 1 + D + D(D+1)/2) fused-kernel accumulator -> GaussianStats.
+
+        The triu stat columns are the raw sums sum w gamma y_i y_j for
+        i <= j (niw.ell_features layout); mirror them back to the full
+        symmetric (K, D, D) second-moment matrix."""
+        import numpy as _np
+
         D = params.mean.shape[-1]
         K = S.shape[0]
-        return GaussianStats(
-            n=S[:, 0], sum_y=S[:, 1 : 1 + D], sum_yyT=S[:, 1 + D :].reshape(K, D, D)
-        )
+        iu, ju = _np.triu_indices(D)
+        upper = jnp.zeros((K, D, D), S.dtype).at[:, iu, ju].set(S[:, 1 + D :])
+        eye = jnp.eye(D, dtype=S.dtype)
+        sum_yyT = upper + jnp.swapaxes(upper, -1, -2) * (1.0 - eye)
+        return GaussianStats(n=S[:, 0], sum_y=S[:, 1 : 1 + D], sum_yyT=sum_yyT)
 
 
 class DiagonalGaussianNIG:

@@ -311,7 +311,7 @@ def pallas_estep_duplex(
         F = Fin
     else:
         D = Fin
-        F = 1 + D + D * D if in_kernel_feats == "niw" else 1 + 2 * D
+        F = 1 + D + D * (D + 1) // 2 if in_kernel_feats == "niw" else 1 + 2 * D
     if F != W.shape[0]:
         raise ValueError(f"W rows {W.shape[0]} != feature width {F}")
 

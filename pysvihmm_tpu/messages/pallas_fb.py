@@ -239,17 +239,17 @@ def _build_feats(o2, D, P, kind):
     built in VMEM/registers in-kernel.
 
     The HBM feature array is the fused E-step's dominant traffic at NIW
-    F = 1 + D + D^2 (73 floats/obs at D=8 vs 8 for the observation): built
+    F = 1 + D + D(D+1)/2 (45 floats/obs at D=8 vs 8 for the observation): built
     by XLA it is written once and re-read by BOTH kernels (~3x F/D data
     blowup on the wire). Building it here means only the raw observations
-    cross HBM. kind: "niw" -> [1, y, y (x) y]; "nig" -> [1, y, y*y]."""
+    cross HBM. kind: "niw" -> [1, y, triu(y (x) y)]; "nig" -> [1, y, y*y]."""
     N = o2.shape[0]
     ones = jnp.ones((N, 1), jnp.float32)
     parts = []
     for p in range(P):
         y = o2[:, p * D : (p + 1) * D]
         if kind == "niw":
-            quad = [y[:, d : d + 1] * y for d in range(D)]
+            quad = [y[:, d : d + 1] * y[:, d:] for d in range(D)]
         elif kind == "nig":
             quad = [y * y]
         else:
@@ -832,7 +832,7 @@ def pallas_estep_fused(
         F = Fin
     else:
         D = Fin
-        F = 1 + D + D * D if in_kernel_feats == "niw" else 1 + 2 * D
+        F = 1 + D + D * (D + 1) // 2 if in_kernel_feats == "niw" else 1 + 2 * D
     if F != W.shape[0]:
         raise ValueError(f"W rows {W.shape[0]} != feature width {F}")
 

@@ -19,7 +19,7 @@ rng = np.random.default_rng(11)
 
 def problem(K, D, T, B, seed=0):
     r = np.random.default_rng(seed)
-    F = 1 + D + D * D
+    F = 1 + D + D * (D + 1) // 2
     return (
         jnp.array(np.log(r.dirichlet(np.ones(K))), jnp.float32),
         jnp.array(np.log(r.dirichlet(np.ones(K), size=K)), jnp.float32),
@@ -118,7 +118,7 @@ class TestDuplexTPULowering:
     """AOT Mosaic lowering (tests/test_tpu_lowering.py pattern)."""
 
     K, D, T, B = 64, 8, 64, 32
-    F = 1 + D + D * D
+    F = 1 + D + D * (D + 1) // 2
     LOG_PI = jnp.array(np.log(rng.dirichlet(np.ones(K))), jnp.float32)
     LOG_A = jnp.array(np.log(rng.dirichlet(np.ones(K), size=K)), jnp.float32)
     FEATS = jax.ShapeDtypeStruct((T, B, F), jnp.float32)

@@ -585,7 +585,7 @@ class TestFusedFeatureRoute:
     def test_default_is_dense_unpacked(self, monkeypatch):
         emission, emit_params, obs_tm, K, fn = self._args(monkeypatch)
         feats, W, kind, packing = fn(emission, emit_params, obs_tm, K)
-        F = 1 + 8 + 64
+        F = 1 + 8 + 36  # triu feature layout (niw.ell_features)
         assert kind is None and packing == 0
         assert feats.shape == (16, 8, F) and W.shape == (F, K)
 
@@ -595,7 +595,7 @@ class TestFusedFeatureRoute:
         )
         feats, W, kind, packing = fn(emission, emit_params, obs_tm, K)
         assert kind is None and packing == 2
-        assert feats.shape == (16, 4, 2 * (1 + 8 + 64))
+        assert feats.shape == (16, 4, 2 * (1 + 8 + 36))
 
     def test_inkernel_knob_passes_raw_obs(self, monkeypatch):
         emission, emit_params, obs_tm, K, fn = self._args(

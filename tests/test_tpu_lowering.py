@@ -23,7 +23,7 @@ from pysvihmm_tpu.messages.pallas_fb import (
 rng = np.random.default_rng(3)
 
 K, D, T, B = 64, 8, 64, 32  # P=2 packing, small enough to lower fast
-F = 1 + D + D * D
+F = 1 + D + D * (D + 1) // 2
 LOG_PI = jnp.array(np.log(rng.dirichlet(np.ones(K))), jnp.float32)
 LOG_A = jnp.array(np.log(rng.dirichlet(np.ones(K), size=K)), jnp.float32)
 FEATS = jax.ShapeDtypeStruct((T, B, F), jnp.float32)
