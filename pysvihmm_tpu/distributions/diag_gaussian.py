@@ -14,8 +14,8 @@ Design notes (TPU-first):
   * Everything is elementwise over (..., D) — no Cholesky, no D x D tiles
     padding out to 128-lane waste. The expected log-likelihood is linear in
     the per-observation features [1, y, y^2] (width 1 + 2D vs the full-
-    covariance family's 1 + D + D^2), so both the likelihood matmul and the
-    sufficient-statistics matmul of the fused Pallas E-step shrink by ~D/2x.
+    covariance family's 1 + D + D(D+1)/2), so both the likelihood matmul and
+    the sufficient-statistics matmul of the fused Pallas E-step shrink ~D/4x.
   * Natural-parameter coordinates (kappa m, kappa, 2b + kappa m^2, 2a) make
     the SVI update a fused elementwise blend, with the SAME sufficient-
     statistic map shape t = (sum_y, n, sum_y2, n) as the NIW family.
