@@ -9,6 +9,7 @@ turn stats into the next global state.
 
 from __future__ import annotations
 
+import math
 import os
 from typing import NamedTuple
 
@@ -152,9 +153,11 @@ def _fused_feats_W(emission, emit_params, obs_tm, K):
 
     Gaussian families build the DENSE (T, B, F) feature array with one XLA
     pass and let pallas_estep_fused reshape it into the kernels' packed
-    (T, B/P, P*F) layout — the measured-fastest route (90.7k seq/s on the
-    K=64/T=1k headline bench). Two measured-slower alternatives are kept
-    behind env knobs, OFF by default:
+    (T, B/P, P*F) layout — the measured-fastest route (141.2k seq/s on
+    the K=64/T=1k headline bench under the bf16x3 tiers + triu features;
+    90.7k in the exact-f32/full-D^2 era when the alternatives below were
+    first measured). The measured-slower alternatives are kept behind env
+    knobs, OFF by default:
 
       * PYSVIHMM_INKERNEL_FEATS: pass raw observations and build
         [1, y, y (x) y] inside the kernels (only D floats/obs cross HBM
@@ -174,6 +177,12 @@ def _fused_feats_W(emission, emit_params, obs_tm, K):
         so the packed reshape is lane-aligned — the +75% likelihood/stat
         matmul width costs more than the relayout it saves:
         MEASURED 94.6k.
+      * PYSVIHMM_PADLG_FEATS: pad F only far enough that the PACKED row
+        P*F is a whole number of 128-lane groups (45 -> 64 at P=2, so
+        P*F = 128 exactly; no physical kernel-side growth since the
+        packed row pads to 128 lanes either way) — still slower than
+        paying the unaligned reshape: MEASURED 132.5k vs dense 141.2k
+        (triu-era numbers).
     The optimized-HLO profile (bench_results/r3_profile_fused.txt) puts
     the dense route's packed-reshape materialization at ~1.6 ms of the
     9.5 ms E-step; all four attempted avoidance routes measured slower
@@ -220,6 +229,22 @@ def _fused_feats_W(emission, emit_params, obs_tm, K):
         feats = emission.ell_features(obs_tm)
         F = feats.shape[-1]
         Fp = -(-F // 128) * 128
+        if Fp != F:
+            feats = jnp.pad(feats, ((0, 0), (0, 0), (0, Fp - F)))
+            Wm = jnp.pad(Wm, ((0, Fp - F), (0, 0)))
+        return feats, Wm, None, 0
+    if os.environ.get("PYSVIHMM_PADLG_FEATS"):
+        # MEASUREMENT experiment: pad F only to the smallest width making
+        # the PACKED row P*F a whole number of 128-lane groups (45 -> 64
+        # at P=2), instead of PAD128's full 128. The packed (T, R, P*F)
+        # array is physically 128-lane-padded either way, so this pad
+        # adds no kernel-side traffic; the (T, B, Fp) -> (T, R, P*Fp)
+        # reshape becomes lane-group aligned. Pad stat columns are zeros.
+        feats = emission.ell_features(obs_tm)
+        F = feats.shape[-1]
+        P = _choose_packing(obs_tm.shape[1], K)
+        g = 128 // math.gcd(P, 128)
+        Fp = min(-(-F // g) * g, -(-F // 128) * 128)
         if Fp != F:
             feats = jnp.pad(feats, ((0, 0), (0, 0), (0, Fp - F)))
             Wm = jnp.pad(Wm, ((0, Fp - F), (0, 0)))
@@ -376,9 +401,10 @@ def _pallas_fused_estep(params, emission, obs, weights=None, need_gamma=True,
         ll_precision=ll_prec,
         stats_precision=stats_prec,
     )
-    if os.environ.get("PYSVIHMM_PAD128_FEATS") and hasattr(
-        emission, "ell_feature_matrix"
-    ):
+    if (
+        os.environ.get("PYSVIHMM_PAD128_FEATS")
+        or os.environ.get("PYSVIHMM_PADLG_FEATS")
+    ) and hasattr(emission, "ell_feature_matrix"):
         S = S[:, : emission.ell_feature_matrix(params.emit).shape[0]]
     return fb, _unpack_emit_stats(emission, params.emit, S)
 
