@@ -46,6 +46,15 @@ def main(argv=None):
     ap.add_argument("--steps", type=int, default=300)
     ap.add_argument("--corpus", type=str, default="/tmp/config5_corpus.npy")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument(
+        "--gen", choices=("device", "host"), default="device",
+        help="corpus generation: 'device' draws chunks with gen_data on the "
+        "accelerator (exact test-suite semantics, but minutes/GB through "
+        "the axon relay); 'host' samples the same model (true params still "
+        "drawn via make_gaussian_params) with vectorized NumPy — the "
+        "covariances are spherical cov_scale*I, so host sampling is exact "
+        "and runs at disk speed (needed for the 32 GB north-star corpus).",
+    )
     args = ap.parse_args(argv)
 
     import jax
@@ -74,19 +83,44 @@ def main(argv=None):
     true_params = make_gaussian_params(
         jax.random.PRNGKey(args.seed), K, D, mean_scale=6.0, cov_scale=0.3
     )
-    for s in range(0, N, chunk):
-        n = min(chunk, N - s)
-        # one true parameter draw for the whole corpus; the chunk index
-        # folds into the sequence-sampling stream only
-        from pysvihmm_tpu.distributions import GaussianNIW as _G
+    if args.gen == "host":
+        pi = np.asarray(true_params.pi, np.float64)
+        A = np.asarray(true_params.A, np.float64)
+        mu = np.asarray(true_params.theta[0], np.float32)
+        # make_gaussian_params covariances are spherical cov_scale * I;
+        # recover the scalar from the (K, D, D) array's [0, 0, 0] entry
+        sd = float(np.sqrt(np.asarray(true_params.theta[1])[0, 0, 0]))
+        A_cum = np.cumsum(A, axis=1)
+        rng = np.random.default_rng(args.seed + 1)
+        for s in range(0, N, chunk):
+            n = min(chunk, N - s)
+            z = np.empty((n, T), np.int32)
+            z[:, 0] = rng.choice(K, size=n, p=pi / pi.sum())
+            u = rng.random((n, T - 1))
+            for t in range(1, T):
+                # inverse-CDF draw per sequence from its current state's row
+                z[:, t] = (
+                    A_cum[z[:, t - 1]] < u[:, t - 1, None]
+                ).sum(axis=1)
+            out[s : s + n] = mu[z] + sd * rng.standard_normal(
+                (n, T, D), np.float32
+            )
+            if z_head is None:
+                z_head = z[:512].copy()
+    else:
+        for s in range(0, N, chunk):
+            n = min(chunk, N - s)
+            # one true parameter draw for the whole corpus; the chunk index
+            # folds into the sequence-sampling stream only
+            from pysvihmm_tpu.distributions import GaussianNIW as _G
 
-        obs_c, z_c = gen_data(
-            jax.random.fold_in(jax.random.PRNGKey(args.seed + 1), s),
-            true_params, _G, num_seqs=n, T=T,
-        )
-        out[s : s + n] = np.asarray(obs_c, np.float32)
-        if z_head is None:
-            z_head = np.asarray(z_c[:512])
+            obs_c, z_c = gen_data(
+                jax.random.fold_in(jax.random.PRNGKey(args.seed + 1), s),
+                true_params, _G, num_seqs=n, T=T,
+            )
+            out[s : s + n] = np.asarray(obs_c, np.float32)
+            if z_head is None:
+                z_head = np.asarray(z_c[:512])
     out.flush()
     gen_wall = time.perf_counter() - t0
     size_gb = N * T * D * 4 / 1e9
@@ -109,11 +143,13 @@ def main(argv=None):
     jax.block_until_ready(m["noisy_elbo"])
     done = 1
     t0 = time.perf_counter()
-    for batch in it:
+    while done < args.steps:
+        batch = next(it, None)
+        if batch is None:  # epoch boundary: reshuffle and keep going
+            it = iter(loader)
+            continue
         state, m = step(state, prior, batch)
         done += 1
-        if done >= args.steps:
-            break
         if done % max(1, args.steps // 4) == 0:
             print(json.dumps({"step": done,
                               "noisy_elbo": float(m["noisy_elbo"]),
