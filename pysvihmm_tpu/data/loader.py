@@ -8,6 +8,8 @@ shard and assembles a globally-sharded jax.Array without cross-host traffic
 
 from __future__ import annotations
 
+import queue
+import threading
 from typing import Callable, Iterator
 
 import jax
@@ -65,3 +67,38 @@ class ShardedSequenceLoader:
             # fancy indexing copies ONLY these rows (memmap shards stay on disk)
             batch = np.ascontiguousarray(self.local[order[i : i + self.batch_per_host]])
             yield jax.make_array_from_process_local_data(self.sharding, batch)
+
+    def prefetch(self, depth: int = 2) -> Iterator[jax.Array]:
+        """One epoch with the host work pipelined ahead of device compute.
+
+        The plain ``__iter__`` performs the memmap gather + host->device
+        copy synchronously between steps, so the device idles for the
+        full IO+transfer time of every batch (measured: 709 ms/step vs a
+        7.3 ms E-step for 32 MB batches through the axon relay —
+        bench_results/r3_config5_1M.jsonl). This wraps the same epoch in
+        a daemon thread feeding a ``depth``-deep queue: while the device
+        runs step t, the thread gathers and ships batches t+1..t+depth,
+        overlapping IO and transfer with compute (transfer-bound links
+        degrade gracefully to the link rate instead of IO+transfer+compute
+        in series). The thread dies with the iterator; a poison pill
+        propagates loader exceptions to the consumer.
+        """
+        q: queue.Queue = queue.Queue(maxsize=depth)
+        _END = object()
+
+        def worker():
+            try:
+                for batch in self:
+                    q.put(batch)
+                q.put(_END)
+            except BaseException as e:  # propagate into the consuming thread
+                q.put(e)
+
+        threading.Thread(target=worker, daemon=True).start()
+        while True:
+            item = q.get()
+            if item is _END:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item

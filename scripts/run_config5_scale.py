@@ -55,6 +55,11 @@ def main(argv=None):
         "covariances are spherical cov_scale*I, so host sampling is exact "
         "and runs at disk speed (needed for the 32 GB north-star corpus).",
     )
+    ap.add_argument(
+        "--reuse-corpus", action="store_true",
+        help="skip generation and stream an existing --corpus file "
+        "(quality probes need the same seed the corpus was written with)",
+    )
     args = ap.parse_args(argv)
 
     import jax
@@ -76,14 +81,30 @@ def main(argv=None):
     # sampling via fixed param_key) so the corpus is one model's data.
     t0 = time.perf_counter()
     chunk = 16_384
-    out = np.lib.format.open_memmap(
-        args.corpus, mode="w+", dtype=np.float32, shape=(N, T, D)
-    )
     z_head = None
     true_params = make_gaussian_params(
         jax.random.PRNGKey(args.seed), K, D, mean_scale=6.0, cov_scale=0.3
     )
-    if args.gen == "host":
+    if args.reuse_corpus:
+        out = np.load(args.corpus, mmap_mode="r")
+        assert out.shape == (N, T, D), f"corpus shape {out.shape} != {(N, T, D)}"
+        # replay chunk 0's STATE draws only (they precede the emission
+        # normals in the host generator's rng stream, so a fresh
+        # rng(seed+1) reproduces them exactly)
+        pi = np.asarray(true_params.pi, np.float64)
+        A_cum = np.cumsum(np.asarray(true_params.A, np.float64), axis=1)
+        rng = np.random.default_rng(args.seed + 1)
+        n = min(chunk, N)
+        z = np.empty((n, T), np.int32)
+        z[:, 0] = rng.choice(K, size=n, p=pi / pi.sum())
+        u = rng.random((n, T - 1))
+        for t in range(1, T):
+            z[:, t] = (A_cum[z[:, t - 1]] < u[:, t - 1, None]).sum(axis=1)
+        z_head = z[:512]
+    elif args.gen == "host":
+        out = np.lib.format.open_memmap(
+            args.corpus, mode="w+", dtype=np.float32, shape=(N, T, D)
+        )
         pi = np.asarray(true_params.pi, np.float64)
         A = np.asarray(true_params.A, np.float64)
         mu = np.asarray(true_params.theta[0], np.float32)
@@ -108,6 +129,9 @@ def main(argv=None):
             if z_head is None:
                 z_head = z[:512].copy()
     else:
+        out = np.lib.format.open_memmap(
+            args.corpus, mode="w+", dtype=np.float32, shape=(N, T, D)
+        )
         for s in range(0, N, chunk):
             n = min(chunk, N - s)
             # one true parameter draw for the whole corpus; the chunk index
@@ -121,7 +145,8 @@ def main(argv=None):
             out[s : s + n] = np.asarray(obs_c, np.float32)
             if z_head is None:
                 z_head = np.asarray(z_c[:512])
-    out.flush()
+    if not args.reuse_corpus:
+        out.flush()
     gen_wall = time.perf_counter() - t0
     size_gb = N * T * D * 4 / 1e9
 
@@ -137,7 +162,7 @@ def main(argv=None):
     state = svi.init_state(p0, jax.random.PRNGKey(args.seed + 3), adaptive=True)
     step = make_dp_streamed_svi_step(GaussianNIW, cfg, num_seqs=N, mesh=mesh)
 
-    it = iter(loader)
+    it = loader.prefetch()
     first = next(it)
     state, m = step(state, prior, first)  # compile
     jax.block_until_ready(m["noisy_elbo"])
@@ -146,7 +171,7 @@ def main(argv=None):
     while done < args.steps:
         batch = next(it, None)
         if batch is None:  # epoch boundary: reshuffle and keep going
-            it = iter(loader)
+            it = loader.prefetch()
             continue
         state, m = step(state, prior, batch)
         done += 1

@@ -198,3 +198,63 @@ class TestShardedLoader:
         assert len(seen) == 6
         got = np.sort(np.concatenate(seen).reshape(48, -1)[:, 0])
         np.testing.assert_array_equal(got, np.sort(corpus.reshape(48, -1)[:, 0]))
+
+    def test_prefetch_matches_sync_epoch(self, cpu_devices):
+        """prefetch() yields exactly the batches __iter__ would (same seed,
+        same shuffle stream), sharded identically — only pipelined."""
+        import numpy as np
+        from pysvihmm_tpu.data.loader import ShardedSequenceLoader
+        from pysvihmm_tpu.parallel import make_mesh
+
+        mesh = make_mesh(8, devices=cpu_devices)
+        corpus = np.arange(64 * 6, dtype=np.float32).reshape(64, 3, 2)
+
+        def make():
+            return ShardedSequenceLoader(
+                lambda s, e: corpus[s:e], total=64, mesh=mesh,
+                batch_per_host=16, seed=7,
+            )
+
+        sync = [np.asarray(b) for b in make()]
+        pre_loader = make()
+        pre = []
+        for b in pre_loader.prefetch(depth=2):
+            assert b.sharding.spec == pre_loader.sharding.spec
+            pre.append(np.asarray(b))
+        assert len(pre) == len(sync) == 4
+        for a, b in zip(sync, pre):
+            np.testing.assert_array_equal(a, b)
+
+    def test_prefetch_propagates_errors(self, cpu_devices):
+        """An exception in the loader thread surfaces in the consumer."""
+        import numpy as np
+        import pytest
+        from pysvihmm_tpu.data.loader import ShardedSequenceLoader
+        from pysvihmm_tpu.parallel import make_mesh
+
+        mesh = make_mesh(8, devices=cpu_devices)
+        loader = ShardedSequenceLoader(
+            lambda s, e: np.zeros((e - s, 2, 2), np.float32),
+            total=32, mesh=mesh, batch_per_host=8,
+        )
+
+        class FlakyShard:
+            """Indexable stand-in for loader.local: second row-gather dies."""
+
+            def __init__(self, arr):
+                self.arr, self.calls = arr, 0
+
+            def __len__(self):
+                return len(self.arr)
+
+            def __getitem__(self, idx):
+                self.calls += 1
+                if self.calls > 1:
+                    raise RuntimeError("disk gone")
+                return self.arr[idx]
+
+        loader.local = FlakyShard(np.asarray(loader.local))
+        it = loader.prefetch(depth=1)
+        next(it)  # first batch fine
+        with pytest.raises(RuntimeError, match="disk gone"):
+            list(it)
