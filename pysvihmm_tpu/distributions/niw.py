@@ -185,8 +185,15 @@ def _triu_features(y: jax.Array) -> jax.Array:
     """(..., D) -> (..., D(D+1)/2) products y_i y_j for i <= j, row-major.
 
     Lane concatenation of D shrinking broadcast-multiplies — never through
-    a padded (..., D, D) intermediate (see :func:`_pair_features`)."""
+    a padded (..., D, D) intermediate (see :func:`_pair_features`).
+    PYSVIHMM_GATHER_FEATS (measurement knob): one multiply of two
+    lane-gathered (..., P) arrays instead of the D-piece concat."""
+    import os
+
     D = y.shape[-1]
+    if os.environ.get("PYSVIHMM_GATHER_FEATS"):
+        iu, ju = jnp.triu_indices(D)
+        return jnp.take(y, iu, axis=-1) * jnp.take(y, ju, axis=-1)
     return jnp.concatenate(
         [y[..., d : d + 1] * y[..., d:] for d in range(D)], axis=-1
     )
