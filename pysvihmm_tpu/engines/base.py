@@ -90,6 +90,47 @@ def batch_local_step(
     return stats, (fb.gamma if need_gamma else None)
 
 
+@f32_matmuls
+def long_chain_local_stats(
+    params: HMMParams,
+    emission,
+    chain: jax.Array,
+    block_size: int = 256,
+) -> LocalStats:
+    """Exact full-chain local stats for ONE very long chain, streaming.
+
+    Semantically `batch_local_step(params, emission, chain[None],
+    method="blocked", need_gamma=False)[0]`, but gamma and the per-
+    transition K x K matrices are never materialized: emission sufficient
+    stats are reduced blockwise inside the backward sweep
+    (messages/blocked.py::forward_backward_blocked_stream). Peak memory is
+    O(T K), so K = 64 chains of T = 10M+ steps fit one chip's HBM — the
+    regime of the reference paper's T~250M chromatin experiment (Foti et
+    al. 2014 §4), which the non-streaming blocked path cannot reach.
+
+    Call under `jax.jit` (static: emission, block_size). Eager calls work
+    but pay per-op dispatch latency — on the axon relay that is ~3.5 ms/op
+    and turns a 0.17 s jitted T=100k E-step into ~9.5 s
+    (bench_results/r3_tpu.jsonl).
+    """
+    from ..messages.blocked import forward_backward_blocked_stream
+
+    log_pi, log_A = expected_log_params(params)
+    ll = emission.expected_log_likelihood(params.emit, chain)  # (T, K)
+    r = forward_backward_blocked_stream(
+        log_pi,
+        log_A,
+        ll,
+        block_size=block_size,
+        stat_xs=chain,
+        stat_fn=lambda g, y: emission_flat_stats(emission, params.emit, g, y),
+        stat_init=emission.zero_stats(params.emit),
+    )
+    return LocalStats(
+        init=r.init_stats, trans=r.trans_stats, emit=r.acc, log_z=r.log_z
+    )
+
+
 def _pallas_packed_estep(params, emission, obs, weights=None):
     """Fused-kernel E-step with gamma left in the kernels' PACKED layout.
 

@@ -24,7 +24,12 @@ from .. import messages
 from ..distributions import dirichlet
 from ..models.hmm import HMMParams, init_params
 from ..utils.precision import f32_matmuls
-from .base import batch_local_step, elbo_from_stats, prepare_fused_obs
+from .base import (
+    batch_local_step,
+    elbo_from_stats,
+    long_chain_local_stats,
+    prepare_fused_obs,
+)
 
 
 class BatchVBState(NamedTuple):
@@ -120,3 +125,29 @@ def fit_restarts(
     best = jnp.argmax(elbos[:, -1])
     best_params = jax.tree.map(lambda x: x[best], finals)
     return best_params, elbos, best
+
+
+def make_long_chain_step(emission, block_size: int = 256):
+    """Jitted coordinate-ascent VB step on ONE very long chain.
+
+    The single-device counterpart of ``parallel.time_parallel.make_ts_vb_step``
+    for the reference paper's T = millions single-chain regime: the E-step
+    streams through ``engines.base.long_chain_local_stats`` (blockwise
+    gamma reduction, O(T K) peak memory), so full exact VB runs on chains
+    100x longer than the materializing blocked path allows.
+    (params, prior, chain (T, D) | (T,)) -> (new_params, elbo).
+    """
+
+    @jax.jit
+    @f32_matmuls
+    def step(params: HMMParams, prior: HMMParams, chain: jax.Array):
+        stats = long_chain_local_stats(params, emission, chain, block_size)
+        elbo = elbo_from_stats(params, prior, emission, stats.log_z)
+        new_params = HMMParams(
+            init=dirichlet.posterior(prior.init, stats.init),
+            trans=dirichlet.posterior(prior.trans, stats.trans),
+            emit=emission.posterior(prior.emit, stats.emit),
+        )
+        return new_params, elbo
+
+    return step

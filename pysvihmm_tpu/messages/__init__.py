@@ -30,7 +30,7 @@ from .scan_fb import (
     viterbi,
 )
 from .assoc_fb import forward_backward_assoc, log_normalizer_assoc
-from .blocked import forward_backward_blocked
+from .blocked import forward_backward_blocked, forward_backward_blocked_stream
 from .state_sharded import state_sharded_forward_backward
 from .time_sharded import (
     time_sharded_forward_backward,
@@ -193,6 +193,7 @@ __all__ = [
     "forward_backward",
     "forward_backward_assoc",
     "forward_backward_blocked",
+    "forward_backward_blocked_stream",
     "state_sharded_forward_backward",
     "time_sharded_forward_backward",
     "time_sharded_forward_backward_batched",

@@ -13,12 +13,23 @@ Transitions are padded to a whole number of tiles with identity matrices
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import jax
 import jax.numpy as jnp
 from jax import lax
 
 from .scan_fb import FBResult, _normalize_loglik
 from .assoc_fb import _combine
+
+
+class StreamStats(NamedTuple):
+    """Reduced outputs of :func:`forward_backward_blocked_stream`."""
+
+    log_z: jax.Array  # ()
+    init_stats: jax.Array  # (K,) = gamma_0
+    trans_stats: jax.Array  # (K, K) summed pairwise marginals
+    acc: object  # stat_fn accumulator pytree (None if no stat_fn)
 
 
 def _pad_count(n_trans: int, S: int) -> int:
@@ -122,4 +133,168 @@ def forward_backward_blocked(
         trans_stats=trans_stats,
         init_stats=init_stats,
         log_c=log_c,
+    )
+
+
+def forward_backward_blocked_stream(
+    log_pi: jax.Array,
+    log_A: jax.Array,
+    log_lik: jax.Array,
+    block_size: int = 256,
+    stat_xs: jax.Array | None = None,
+    stat_fn=None,
+    stat_init=None,
+) -> StreamStats:
+    """Streaming blocked FB for very long single chains (T = millions).
+
+    Same math as :func:`forward_backward_blocked`, but nothing of size
+    T x K^2 or even T x K beyond the forward messages is ever materialized:
+    the per-transition K x K matrices are built INSIDE each scan block from
+    the likelihood slice, and the backward sweep reduces gamma blockwise
+    into accumulators instead of emitting it. Peak memory is
+    O(T K + S K^2); at K = 64 a T = 10M chain needs ~5 GB of HBM where
+    `forward_backward_blocked` would need 164 GB for its M_all alone.
+
+    stat_fn(gamma_blk (S, K), xs_blk) -> pytree is reduced (tree-summed)
+    over all time steps with gamma zeroed outside the chain; use it for
+    emission sufficient statistics. `stat_init` is the zero accumulator,
+    `stat_xs` a (T, ...) per-step operand (e.g. observations), padded
+    internally with zero rows. Per-step kept-masks (`weights`) are not
+    supported here — this path is for exact full-chain E-steps.
+
+    Per-block log-normalizer sums are emitted as scan outputs and reduced
+    with one pairwise `jnp.sum` (not carried sequentially), so the f32
+    log Z error does not random-walk over tens of thousands of blocks.
+    """
+    T, K = log_lik.shape
+    dtype = log_lik.dtype
+    lik, shifts = _normalize_loglik(log_lik)
+    have_stats = stat_fn is not None
+
+    if T == 1:
+        v0 = jnp.exp(log_pi) * lik[0]
+        c0 = jnp.sum(v0)
+        gamma0 = v0 / c0
+        acc = stat_fn(gamma0[None], stat_xs[:1]) if have_stats else None
+        return StreamStats(
+            log_z=jnp.log(c0) + jnp.sum(shifts),
+            init_stats=gamma0,
+            trans_stats=jnp.zeros((K, K), dtype),
+            acc=acc,
+        )
+
+    S = min(block_size, T - 1)
+    A_tilde = jnp.exp(log_A)
+    eye = jnp.eye(K, dtype=dtype)
+    n_trans = T - 1
+    pad = _pad_count(n_trans, S)
+    n_blocks = (n_trans + pad) // S
+
+    lik_tr = jnp.concatenate([lik[1:], jnp.ones((pad, K), dtype)], axis=0)
+    lik_tr = lik_tr.reshape(n_blocks, S, K)
+    valid = jnp.concatenate(
+        [jnp.ones((n_trans,), bool), jnp.zeros((pad,), bool)], axis=0
+    ).reshape(n_blocks, S)
+
+    def make_M(lik_blk, val):
+        return jnp.where(
+            val[:, None, None],
+            A_tilde[None, :, :] * lik_blk[:, None, :],
+            eye[None, :, :],
+        )
+
+    a0 = jnp.exp(log_pi) * lik[0]
+    c0 = jnp.sum(a0)
+    alpha0 = a0 / c0
+
+    def fwd_block(a, xs):
+        lik_blk, val = xs
+        M_blk = make_M(lik_blk, val)
+        m0 = jnp.max(M_blk, axis=(-2, -1), keepdims=True)
+        M_n = M_blk / m0
+        s0 = jnp.log(m0[..., 0, 0])
+        P, sP = lax.associative_scan(_combine, (M_n, s0))
+        au = jnp.einsum("k,tkj->tj", a, P)  # (S, K)
+        sums = jnp.sum(au, axis=-1)
+        alphas = au / sums[:, None]
+        # sum of per-step log_c over the block = last cumulative value
+        # (identity-padded steps contribute exactly 0)
+        return alphas[-1], (alphas, jnp.log(sums[-1]) + sP[-1])
+
+    _, (alphas_blk, logc_sums) = lax.scan(fwd_block, alpha0, (lik_tr, valid))
+    log_z = jnp.log(c0) + jnp.sum(logc_sums) + jnp.sum(shifts)
+
+    # alpha at time jS + i for rows (j, i): block j's row 0 is the LAST
+    # alpha of block j-1 (alpha0 for j = 0), rows 1.. are block j's own.
+    a_prev_last = jnp.concatenate([alpha0[None], alphas_blk[:-1, -1]], axis=0)
+
+    if have_stats:
+        target = n_blocks * S  # rows aligned with times jS + i
+        if stat_xs.shape[0] >= target:
+            xs_p = stat_xs[:target]
+        else:
+            pad_rows = jnp.zeros(
+                (target - stat_xs.shape[0],) + stat_xs.shape[1:], stat_xs.dtype
+            )
+            xs_p = jnp.concatenate([stat_xs, pad_rows], axis=0)
+        xs_blocks = xs_p.reshape((n_blocks, S) + stat_xs.shape[1:])
+    else:
+        xs_blocks = jnp.zeros((n_blocks, S, 0), dtype)
+
+    acc0 = stat_init if have_stats else jnp.zeros((0,), dtype)
+
+    def bwd_block(carry, xs):
+        b_in, acc_tr, acc_stat = carry
+        lik_blk, val, al_blk, a_prev, xsb = xs
+        M_blk = make_M(lik_blk, val)
+        m0 = jnp.max(M_blk, axis=(-2, -1), keepdims=True)
+        M_n = M_blk / m0
+        s0 = jnp.log(m0[..., 0, 0])
+        Sp, _ = lax.associative_scan(
+            _combine, (jnp.swapaxes(M_n, -1, -2), s0), reverse=True
+        )
+        bu = jnp.einsum("tkj,k->tj", Sp, b_in)  # beta at times jS + i
+        betas = bu / jnp.sum(bu, axis=-1, keepdims=True)
+
+        a_rows = jnp.concatenate([a_prev[None], al_blk[: S - 1]], axis=0)
+        wv = val.astype(dtype)
+
+        if have_stats:
+            g = a_rows * betas
+            gamma = g / jnp.sum(g, axis=-1, keepdims=True)
+            gamma = gamma * wv[:, None]
+            acc_stat = jax.tree.map(
+                jnp.add, acc_stat, stat_fn(gamma, xsb)
+            )
+
+        # pairwise-marginal sums for transitions t = 1 + jS + i:
+        # beta_t rows are this block's betas shifted by one, closed by b_in
+        beta_next = jnp.concatenate([betas[1:], b_in[None]], axis=0)
+        bl = lik_blk * beta_next
+        n = jnp.einsum("tk,tk->t", a_rows @ A_tilde, bl)
+        alpha_w = a_rows * (wv / n)[:, None]
+        acc_tr = acc_tr + A_tilde * (alpha_w.T @ bl)
+        return (betas[0], acc_tr, acc_stat), None
+
+    (b0, trans_stats, acc), _ = lax.scan(
+        bwd_block,
+        (jnp.ones((K,), dtype), jnp.zeros((K, K), dtype), acc0),
+        (lik_tr, valid, alphas_blk, a_prev_last, xs_blocks),
+        reverse=True,
+    )
+
+    g0 = alpha0 * b0
+    init_stats = g0 / jnp.sum(g0)
+
+    if have_stats:
+        # time T-1 (beta = 1) is covered by no block's gamma rows
+        gamma_last = alphas_blk.reshape(-1, K)[n_trans - 1]
+        acc = jax.tree.map(
+            jnp.add, acc, stat_fn(gamma_last[None], stat_xs[T - 1 :])
+        )
+    else:
+        acc = None
+
+    return StreamStats(
+        log_z=log_z, init_stats=init_stats, trans_stats=trans_stats, acc=acc
     )

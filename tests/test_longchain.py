@@ -293,3 +293,82 @@ class TestBlockedFBEdge:
         b = forward_backward_blocked(log_pi, log_A, ll, block_size=128)
         assert np.isfinite(float(b.log_z))
         np.testing.assert_allclose(float(b.log_z), float(a.log_z), rtol=1e-12)
+
+
+class TestBlockedStream:
+    """Streaming blocked FB (no M_all / gamma materialization) must produce
+    the same reduced stats as the scan E-step for every family and padding
+    case — it is the exact long-chain (T = millions) production path."""
+
+    def _check(self, emission, chain, K, S, tol, **prior_kw):
+        from pysvihmm_tpu.engines.base import batch_local_step, long_chain_local_stats
+        from pysvihmm_tpu.models.hmm import init_params, make_prior
+
+        prior = make_prior(K, emission, **prior_kw)
+        params = init_params(jax.random.PRNGKey(3), prior, emission, chain)
+        ref, _ = batch_local_step(
+            params, emission, chain[None], method="scan", need_gamma=False
+        )
+        got = jax.jit(
+            lambda p, c: long_chain_local_stats(p, emission, c, block_size=S)
+        )(params, chain)
+        np.testing.assert_allclose(float(got.log_z), float(ref.log_z), rtol=tol)
+        np.testing.assert_allclose(
+            np.array(got.init), np.array(ref.init), atol=10 * tol
+        )
+        np.testing.assert_allclose(
+            np.array(got.trans), np.array(ref.trans), rtol=50 * tol, atol=50 * tol
+        )
+        for a, b in zip(jax.tree.leaves(got.emit), jax.tree.leaves(ref.emit)):
+            np.testing.assert_allclose(
+                np.array(a), np.array(b), rtol=50 * tol, atol=50 * tol
+            )
+
+    @pytest.mark.parametrize("T,S", [(210, 64), (129, 64), (65, 64), (2, 8), (40, 8)])
+    def test_gaussian_matches_scan(self, T, S, enable_x64):
+        from pysvihmm_tpu.data.synthetic import gen_gaussian_dataset
+        from pysvihmm_tpu.distributions import GaussianNIW
+
+        K, D = 5, 3
+        obs, _, _ = gen_gaussian_dataset(jax.random.PRNGKey(0), K, D, 1, T)
+        chain = obs[0].astype(jnp.float64)
+        self._check(GaussianNIW, chain, K, S, tol=1e-9, obs_dim=D)
+
+    def test_multinomial_matches_scan(self, enable_x64):
+        from pysvihmm_tpu.data.synthetic import gen_multinomial_dataset
+        from pysvihmm_tpu.distributions import MultinomialDirichlet
+
+        K, V, T = 4, 11, 137
+        obs, _, _ = gen_multinomial_dataset(jax.random.PRNGKey(1), K, V, 1, T)
+        self._check(MultinomialDirichlet, obs[0], K, 32, tol=1e-9, num_symbols=V)
+
+    def test_f32_long(self):
+        """T=20k f32: stats agree with scan to float tolerance."""
+        from pysvihmm_tpu.data.synthetic import gen_gaussian_dataset
+        from pysvihmm_tpu.distributions import GaussianNIW
+
+        K, D, T = 8, 4, 20_000
+        obs, _, _ = gen_gaussian_dataset(jax.random.PRNGKey(2), K, D, 1, T)
+        self._check(GaussianNIW, obs[0], K, 512, tol=2e-4, obs_dim=D)
+
+    def test_vb_step_matches_batch_vb(self, enable_x64):
+        """One long-chain VB step == one batch-VB step on the same chain."""
+        from pysvihmm_tpu.data.synthetic import gen_gaussian_dataset
+        from pysvihmm_tpu.distributions import GaussianNIW
+        from pysvihmm_tpu.engines import batch_vb
+        from pysvihmm_tpu.models.hmm import init_params, make_prior
+
+        K, D, T = 4, 2, 333
+        obs, _, _ = gen_gaussian_dataset(jax.random.PRNGKey(4), K, D, 1, T)
+        chain = obs[0].astype(jnp.float64)
+        prior = make_prior(K, GaussianNIW, obs_dim=D)
+        p0 = init_params(jax.random.PRNGKey(5), prior, GaussianNIW, chain)
+
+        ref_step = batch_vb.make_step(GaussianNIW, method="scan")
+        ref_p, ref_elbo = ref_step(p0, prior, chain[None])
+        lc_step = batch_vb.make_long_chain_step(GaussianNIW, block_size=64)
+        lc_p, lc_elbo = lc_step(p0, prior, chain)
+
+        np.testing.assert_allclose(float(lc_elbo), float(ref_elbo), rtol=1e-10)
+        for a, b in zip(jax.tree.leaves(lc_p), jax.tree.leaves(ref_p)):
+            np.testing.assert_allclose(np.array(a), np.array(b), rtol=1e-8, atol=1e-10)
