@@ -170,12 +170,18 @@ def forward_backward_blocked_stream(
     dtype = log_lik.dtype
     lik, shifts = _normalize_loglik(log_lik)
     have_stats = stat_fn is not None
+    if have_stats and stat_xs is None:
+        raise ValueError("stat_fn requires stat_xs (the per-step operand)")
 
     if T == 1:
         v0 = jnp.exp(log_pi) * lik[0]
         c0 = jnp.sum(v0)
         gamma0 = v0 / c0
-        acc = stat_fn(gamma0[None], stat_xs[:1]) if have_stats else None
+        acc = None
+        if have_stats:
+            acc = stat_fn(gamma0[None], stat_xs[:1])
+            if stat_init is not None:
+                acc = jax.tree.map(lambda a, z: a + z.astype(a.dtype), acc, stat_init)
         return StreamStats(
             log_z=jnp.log(c0) + jnp.sum(shifts),
             init_stats=gamma0,
@@ -241,7 +247,22 @@ def forward_backward_blocked_stream(
     else:
         xs_blocks = jnp.zeros((n_blocks, S, 0), dtype)
 
-    acc0 = stat_init if have_stats else jnp.zeros((0,), dtype)
+    if have_stats:
+        # Promote the accumulator to the dtype stat_fn ACTUALLY produces
+        # (gamma is built in the chain dtype, so e.g. an f64 chain with f32
+        # params yields f64 stats). A carry whose input/output dtypes differ
+        # is a trace-time scan error, and silently down-casting to
+        # stat_init's dtype would forfeit the precision the chain runs at.
+        out_sds = jax.eval_shape(
+            stat_fn,
+            jax.ShapeDtypeStruct((S, K), dtype),
+            jax.ShapeDtypeStruct(xs_blocks.shape[1:], stat_xs.dtype),
+        )
+        acc0 = jax.tree.map(
+            lambda z, o: jnp.asarray(z, o.dtype), stat_init, out_sds
+        )
+    else:
+        acc0 = jnp.zeros((0,), dtype)
 
     def bwd_block(carry, xs):
         b_in, acc_tr, acc_stat = carry

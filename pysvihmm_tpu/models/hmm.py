@@ -70,9 +70,14 @@ def make_prior(
     num_symbols: int | None = None,
     alpha_init: float = 1.0,
     alpha_tran: float = 1.0,
-    dtype=jnp.float32,
+    dtype=None,
     **emission_kw,
 ) -> HMMParams:
+    # Default to the session float dtype (f32; f64 under jax_enable_x64) so
+    # oracle-parity tests really exercise f64 end to end instead of silently
+    # running the whole E-step in f32 params (ADVICE r3 medium).
+    if dtype is None:
+        dtype = jax.dtypes.canonicalize_dtype(jnp.float64)
     if emission is GaussianNIW:
         emit = GaussianNIW.make_prior(K, obs_dim, dtype=dtype, **emission_kw)
     elif emission is DiagonalGaussianNIG:

@@ -49,11 +49,7 @@ def main(argv=None):
     )
     from pysvihmm_tpu.distributions import GaussianNIW, MultinomialDirichlet
     from pysvihmm_tpu.engines import batch_vb, svi
-    from pysvihmm_tpu.engines.base import (
-        batch_local_step,
-        decode,
-        predictive_log_likelihood,
-    )
+    from pysvihmm_tpu.engines.base import decode, predictive_log_likelihood
     from pysvihmm_tpu.eval.metrics import hamming_error
     from pysvihmm_tpu.models.hmm import init_params, make_prior
 
@@ -129,11 +125,19 @@ def main(argv=None):
         chain = obs[0]
         prior = make_prior(K, GaussianNIW, obs_dim=D)
         p0 = init_params(jax.random.PRNGKey(9), prior, GaussianNIW, chain)
-        # exact full-chain E-step via the time-tiled (blocked) path
+        # exact full-chain E-step via the STREAMING time-tiled path, jitted:
+        # r3 measured this eagerly (~3.5 ms/op axon dispatch x ~21k ops) and
+        # recorded 74.5 s for a 0.17 s computation (VERDICT r3 weak #2).
+        from pysvihmm_tpu.engines.base import long_chain_local_stats
+
+        exact_fn = jax.jit(
+            lambda p, c: long_chain_local_stats(p, GaussianNIW, c, block_size=256)
+        )
+        stats = jax.block_until_ready(exact_fn(p0, chain))  # compile + run
         t0 = time.perf_counter()
-        stats, _ = batch_local_step(p0, GaussianNIW, chain[None], method="blocked")
-        exact_logz = float(stats.log_z)
+        stats = jax.block_until_ready(exact_fn(p0, chain))
         wall_exact = time.perf_counter() - t0
+        exact_logz = float(stats.log_z)
         # SVI on the same chain (the algorithmic long-context answer)
         cfg = svi.SVIConfig(batch_size=32, subchain_len=50, buffer=10, tau=10.0, kappa=0.6)
         state = svi.init_state(p0, jax.random.PRNGKey(10))
@@ -143,7 +147,8 @@ def main(argv=None):
             np.asarray(decode(state.params, GaussianNIW, chain[None])), np.asarray(z), K
         )
         _emit({"config": 4, "T": T, "exact_blocked_logz": exact_logz,
-               "exact_wall_s": round(wall_exact, 2), "svi_hamming": err,
+               "exact_path": "long_chain_local_stats[jit,steady]",
+               "exact_wall_s": round(wall_exact, 4), "svi_hamming": err,
                "wall_s": round(time.perf_counter() - t0, 2)})
         assert np.isfinite(exact_logz)
 
