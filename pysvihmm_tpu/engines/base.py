@@ -308,7 +308,33 @@ def _fused_feats_W(emission, emit_params, obs_tm, K):
                 axis=-1,
             )
             return feats, Wm, None, P
-    return emission.ell_features(obs_tm), Wm, None, 0
+    return emission.ell_features(obs_tm).astype(_feats_store_dtype()), Wm, None, 0
+
+
+def _feats_store_dtype():
+    """Storage dtype for the fused E-step's (T, B, F) feature array.
+
+    The feature array is the E-step's dominant HBM stream (read by BOTH
+    kernels; diag-Gaussian's higher throughput proved the E-step feature-
+    bound — BASELINE.md ledger) and every consuming dot bf16-splits its
+    operands anyway, so storing it bf16 halves that traffic at the cost of
+    rounding the feature VALUES (~4e-3 relative; the likelihood tier's
+    one-shot error grows from ~2e-4 to ~1e-3 of log Z). Measured on chip at
+    the K=64/T=1k headline: 134-140k -> 173-174k seq/s (+27%), with VB
+    landing on the same optimum (end-ELBO rel diff 1.3e-4, Hamming 0.0) and
+    300 SVI steps finite at K=64/D=8 (r4_tpu.jsonl). Default ON where the
+    fused kernels are the production path (TPU); f32 under interpret/CPU so
+    the exact-parity tests keep their tight tolerances. PYSVIHMM_BF16_FEATS
+    =1/0 forces either way.
+    """
+    v = os.environ.get("PYSVIHMM_BF16_FEATS", "").strip().lower()
+    if v in ("0", "false", "off"):
+        return jnp.float32
+    if v:
+        return jnp.bfloat16
+    from ..messages.pallas_fb import on_tpu
+
+    return jnp.bfloat16 if on_tpu() else jnp.float32
 
 
 def _unpack_emit_stats(emission, emit_params, S):
@@ -368,7 +394,7 @@ def prepare_fused_obs(params, emission, obs):
     if emission is MultinomialDirichlet:
         feats = jax.nn.one_hot(obs_tm, params.emit.shape[-1], dtype=jnp.float32)
     else:
-        feats = emission.ell_features(obs_tm).astype(jnp.float32)
+        feats = emission.ell_features(obs_tm).astype(_feats_store_dtype())
     T, B, Fin = feats.shape
     K = params.init.shape[0]
     P = _choose_packing(B, K)

@@ -218,11 +218,14 @@ def _kdot(a, b, dims, prec, b_split=None):
     weights): hoists 2 VPU casts out of the loop.
     """
     if prec != "bf16x3":
+        if a.dtype == jnp.bfloat16 or b.dtype == jnp.bfloat16:
+            # mixed-dtype dots don't lower on Mosaic; an already-bf16
+            # operand (bf16-stored features) forces native-bf16 passes
+            a, b = a.astype(jnp.bfloat16), b.astype(jnp.bfloat16)
+            prec = lax.Precision.DEFAULT
         return lax.dot_general(
             a, b, dims, preferred_element_type=jnp.float32, precision=prec
         )
-    ah, al = _split_bf16(a)
-    bh, bl = _split_bf16(b) if b_split is None else b_split
     def d(x, y):
         # each pass is a NATIVE bf16 MXU matmul: contract precision must
         # be DEFAULT — Mosaic rejects bf16 operands under an fp32
@@ -231,6 +234,15 @@ def _kdot(a, b, dims, prec, b_split=None):
             x, y, dims, preferred_element_type=jnp.float32,
             precision=lax.Precision.DEFAULT,
         )
+    # An operand stored bf16 (PYSVIHMM_BF16_FEATS) has a zero lo part:
+    # skip its all-zero passes instead of splitting it redundantly.
+    if a.dtype == jnp.bfloat16:
+        bh, bl = _split_bf16(b) if b_split is None else b_split
+        return d(a, bh) + d(a, bl)
+    ah, al = _split_bf16(a)
+    if b.dtype == jnp.bfloat16:
+        return d(ah, b) + d(al, b)
+    bh, bl = _split_bf16(b) if b_split is None else b_split
     return d(ah, bh) + d(ah, bl) + d(al, bh)
 
 
@@ -836,7 +848,11 @@ def pallas_estep_fused(
     if F != W.shape[0]:
         raise ValueError(f"W rows {W.shape[0]} != feature width {F}")
 
-    feats = feats.astype(jnp.float32)
+    if feats.dtype != jnp.bfloat16:
+        # bf16-stored features pass through: the kernels read the half-width
+        # HBM stream directly and _kdot skips the zero split passes
+        # (PYSVIHMM_BF16_FEATS measurement knob, engines/base.py)
+        feats = feats.astype(jnp.float32)
     w_tm = weights.astype(jnp.float32) if weights is not None else None
     A_tilde = jnp.exp(log_A).astype(jnp.float32)
     pi_tilde = jnp.exp(log_pi).astype(jnp.float32)
