@@ -48,6 +48,7 @@ class ShardedSequenceLoader:
         nproc = jax.process_count()
         self.start, self.end = process_shard_bounds(total, nproc, pid)
         self.local = np.asarray(load_shard(self.start, self.end))
+        self.seed = seed
         self.rng = np.random.default_rng(seed + pid)
         self.sharding = NamedSharding(mesh, P("data"))
 
@@ -68,6 +69,47 @@ class ShardedSequenceLoader:
             batch = np.ascontiguousarray(self.local[order[i : i + self.batch_per_host]])
             yield jax.make_array_from_process_local_data(self.sharding, batch)
 
+    def batches_per_epoch(self) -> int:
+        """Whole batches per epoch (the tail < batch_per_host is dropped,
+        matching ``__iter__``'s range arithmetic)."""
+        return len(self.local) // self.batch_per_host
+
+    def epoch_order(self, epoch: int) -> np.ndarray:
+        """The shuffle permutation of epoch ``epoch`` — a pure function of
+        (seed, process, epoch), so any (epoch, batch) position in the stream
+        can be re-derived exactly after a restart (no RNG state to persist;
+        the fault-tolerant trainer resumes mid-corpus from the step counter
+        alone — SURVEY.md §5 failure detection / elastic recovery)."""
+        rng = np.random.default_rng((self.seed, jax.process_index(), epoch))
+        return rng.permutation(len(self.local))
+
+    def stream(self, start_step: int = 0, depth: int = 2) -> Iterator[jax.Array]:
+        """Infinite resumable batch stream, prefetched.
+
+        Batch ``s`` of the stream is batch ``s % batches_per_epoch()`` of
+        epoch ``s // batches_per_epoch()`` under :meth:`epoch_order` — fully
+        deterministic, so a run restarted with ``start_step = steps_done``
+        sees exactly the batches the uninterrupted run would have seen.
+        """
+        B = self.batch_per_host
+        bpe = self.batches_per_epoch()
+        if bpe == 0:
+            raise ValueError(
+                f"shard has {len(self.local)} sequences < batch_per_host={B}"
+            )
+
+        def gen():
+            step = start_step
+            while True:
+                epoch, idx = divmod(step, bpe)
+                order = self.epoch_order(epoch)
+                for i in range(idx, bpe):
+                    batch = np.ascontiguousarray(self.local[order[i * B : (i + 1) * B]])
+                    yield jax.make_array_from_process_local_data(self.sharding, batch)
+                    step += 1
+
+        return _prefetch_iter(gen(), depth)
+
     def prefetch(self, depth: int = 2) -> Iterator[jax.Array]:
         """One epoch with the host work pipelined ahead of device compute.
 
@@ -83,22 +125,31 @@ class ShardedSequenceLoader:
         in series). The thread dies with the iterator; a poison pill
         propagates loader exceptions to the consumer.
         """
-        q: queue.Queue = queue.Queue(maxsize=depth)
-        _END = object()
+        return _prefetch_iter(iter(self), depth)
 
-        def worker():
-            try:
-                for batch in self:
-                    q.put(batch)
-                q.put(_END)
-            except BaseException as e:  # propagate into the consuming thread
-                q.put(e)
 
-        threading.Thread(target=worker, daemon=True).start()
-        while True:
-            item = q.get()
-            if item is _END:
-                return
-            if isinstance(item, BaseException):
-                raise item
-            yield item
+def _prefetch_iter(source: Iterator, depth: int) -> Iterator:
+    """Drive ``source`` from a daemon thread into a ``depth``-deep queue.
+
+    A poison pill propagates producer exceptions to the consumer; the
+    thread dies with the process (daemon) if the consumer stops early.
+    """
+    q: queue.Queue = queue.Queue(maxsize=depth)
+    _END = object()
+
+    def worker():
+        try:
+            for batch in source:
+                q.put(batch)
+            q.put(_END)
+        except BaseException as e:  # propagate into the consuming thread
+            q.put(e)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item

@@ -243,7 +243,8 @@ def _fused_feats_W(emission, emit_params, obs_tm, K):
     if emission is MultinomialDirichlet:
         V = emit_params.shape[-1]
         W = jnp.swapaxes(dirichlet.expected_log_probs(emit_params), 0, 1)  # (V, K)
-        feats = jax.nn.one_hot(obs_tm, V, dtype=jnp.float32)
+        # one-hot features are EXACT in bf16: half the HBM stream, lossless
+        feats = jax.nn.one_hot(obs_tm, V, dtype=_feats_store_dtype(emission))
         return feats, W, None, 0
     Wm = emission.ell_feature_matrix(emit_params)
     import os
@@ -308,33 +309,46 @@ def _fused_feats_W(emission, emit_params, obs_tm, K):
                 axis=-1,
             )
             return feats, Wm, None, P
-    return emission.ell_features(obs_tm).astype(_feats_store_dtype()), Wm, None, 0
+    return (
+        emission.ell_features(obs_tm).astype(_feats_store_dtype(emission)),
+        Wm, None, 0,
+    )
 
 
-def _feats_store_dtype():
+def _feats_store_dtype(emission=None):
     """Storage dtype for the fused E-step's (T, B, F) feature array.
 
     The feature array is the E-step's dominant HBM stream (read by BOTH
-    kernels; diag-Gaussian's higher throughput proved the E-step feature-
-    bound — BASELINE.md ledger) and every consuming dot bf16-splits its
-    operands anyway, so storing it bf16 halves that traffic at the cost of
-    rounding the feature VALUES (~4e-3 relative; the likelihood tier's
-    one-shot error grows from ~2e-4 to ~1e-3 of log Z). Measured on chip at
-    the K=64/T=1k headline: 134-140k -> 173-174k seq/s (+27%), with VB
-    landing on the same optimum (end-ELBO rel diff 1.3e-4, Hamming 0.0) and
-    300 SVI steps finite at K=64/D=8 (r4_tpu.jsonl). Default ON where the
-    fused kernels are the production path (TPU); f32 under interpret/CPU so
-    the exact-parity tests keep their tight tolerances. PYSVIHMM_BF16_FEATS
-    =1/0 forces either way.
+    kernels), and storing it bf16 halves that traffic: measured +27% at
+    the K=64/T=1k headline (134-140k -> 173-177k seq/s, r4_tpu.jsonl).
+    BUT for the Gaussian families it is NOT production-safe: extracting a
+    per-state covariance (~cov_scale) from global second moments (~y^2)
+    needs ~log2((mean_sep/std)^2) mantissa bits — ~13 at the headline's
+    mean_scale=8/cov=0.3 — and bf16 has 8, so the bf16-value-rounded
+    y (x) y stats break the NIW posterior's PSD margin exactly like the
+    1-pass-bf16 stat tier did (reproduced: subchain SVI at K=64/D=8 NaNs
+    on step 2, config-4 Hamming 0.0 -> 0.98; r4_tpu.jsonl). Full-batch VB
+    survived the same rounding (its rho=1 conjugate update averages 256k
+    observations, burying the rounding under gamma mass), which is why the
+    first-pass quality check passed — the windowed-SVI probe is the
+    decisive one.
+
+    Default is therefore f32 for the Gaussian families, and bf16 ON TPU
+    only where rounding is EXACT: multinomial one-hot features (0/1 are
+    bf16-representable, so the half-traffic stream is lossless).
+    PYSVIHMM_BF16_FEATS=1/0 forces either way (measurement knob).
     """
     v = os.environ.get("PYSVIHMM_BF16_FEATS", "").strip().lower()
     if v in ("0", "false", "off"):
         return jnp.float32
     if v:
         return jnp.bfloat16
+    from ..distributions.emissions import MultinomialDirichlet
     from ..messages.pallas_fb import on_tpu
 
-    return jnp.bfloat16 if on_tpu() else jnp.float32
+    if emission is MultinomialDirichlet and on_tpu():
+        return jnp.bfloat16
+    return jnp.float32
 
 
 def _unpack_emit_stats(emission, emit_params, S):
@@ -392,9 +406,11 @@ def prepare_fused_obs(params, emission, obs):
         return None
     obs_tm = jnp.swapaxes(obs, 0, 1)
     if emission is MultinomialDirichlet:
-        feats = jax.nn.one_hot(obs_tm, params.emit.shape[-1], dtype=jnp.float32)
+        feats = jax.nn.one_hot(
+            obs_tm, params.emit.shape[-1], dtype=_feats_store_dtype(emission)
+        )
     else:
-        feats = emission.ell_features(obs_tm).astype(_feats_store_dtype())
+        feats = emission.ell_features(obs_tm).astype(_feats_store_dtype(emission))
     T, B, Fin = feats.shape
     K = params.init.shape[0]
     P = _choose_packing(B, K)

@@ -133,11 +133,14 @@ def main(argv=None):
         exact_fn = jax.jit(
             lambda p, c: long_chain_local_stats(p, GaussianNIW, c, block_size=256)
         )
-        stats = jax.block_until_ready(exact_fn(p0, chain))  # compile + run
+        # completion forced by the device->host transfer of log_z:
+        # block_until_ready does NOT wait on the axon relay backend
+        # (bench.py methodology note)
+        float(exact_fn(p0, chain).log_z)  # compile + run
         t0 = time.perf_counter()
-        stats = jax.block_until_ready(exact_fn(p0, chain))
-        wall_exact = time.perf_counter() - t0
+        stats = exact_fn(p0, chain)
         exact_logz = float(stats.log_z)
+        wall_exact = time.perf_counter() - t0
         # SVI on the same chain (the algorithmic long-context answer)
         cfg = svi.SVIConfig(batch_size=32, subchain_len=50, buffer=10, tau=10.0, kappa=0.6)
         state = svi.init_state(p0, jax.random.PRNGKey(10))

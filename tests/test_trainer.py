@@ -43,6 +43,67 @@ class TestTrainer:
         assert err < 0.05
 
 
+class TestStreamedTrainer:
+    def _setup(self, tmp_path, N=64, T=32, D=2, K=3, B=8):
+        from pysvihmm_tpu.data.loader import ShardedSequenceLoader
+        from pysvihmm_tpu.parallel import make_dp_streamed_svi_step, make_mesh
+
+        obs, _, _ = gen_gaussian_dataset(
+            jax.random.PRNGKey(20), K, D, N, T, mean_scale=6.0, cov_scale=0.3
+        )
+        arr = np.asarray(obs, np.float32)
+        path = str(tmp_path / "corpus.npy")
+        np.save(path, arr)
+        mesh = make_mesh()
+        prior = make_prior(K, GaussianNIW, obs_dim=D)
+        p0 = init_params(jax.random.PRNGKey(21), prior, GaussianNIW, obs)
+        cfg = svi.SVIConfig(batch_size=B, tau=5.0, kappa=0.6, adaptive=True)
+        step = make_dp_streamed_svi_step(GaussianNIW, cfg, num_seqs=N, mesh=mesh)
+        loader = ShardedSequenceLoader.from_npy(path, mesh, batch_per_host=B, seed=3)
+        return prior, p0, step, loader
+
+    def test_stream_is_deterministic_and_resumable(self, tmp_path):
+        prior, p0, step, loader = self._setup(tmp_path)
+        a = [np.asarray(b) for _, b in zip(range(13), loader.stream(0))]
+        b = [np.asarray(b) for _, b in zip(range(13), loader.stream(0))]
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(x, y)
+        # resuming at step 5 reproduces the tail, including across the
+        # epoch boundary (64 seqs / B=8 -> 8 batches/epoch)
+        c = [np.asarray(b) for _, b in zip(range(8), loader.stream(5))]
+        for x, y in zip(a[5:], c):
+            np.testing.assert_array_equal(x, y)
+
+    def test_streamed_kill_resume_bitexact(self, tmp_path):
+        """A run killed mid-corpus and restarted from its checkpoint must
+        land on the SAME final state as an uninterrupted run: the loader
+        position is a pure function of the checkpointed step counter, and
+        schedule/adaptive state ride in the checkpoint (VERDICT r3 item 6)."""
+        prior, p0, step, loader = self._setup(tmp_path)
+        key = jax.random.PRNGKey(22)
+
+        # uninterrupted reference: 20 steps, no checkpointing
+        ref = svi.init_state(p0, key, adaptive=True)
+        it = loader.stream(0)
+        for _ in range(20):
+            ref, _ = step(ref, prior, next(it))
+
+        # "preempted" run: checkpoint every 4, killed after step 11
+        d = str(tmp_path / "ckpt")
+        s = svi.init_state(p0, key, adaptive=True)
+        s = trainer.train_streamed(
+            step, s, prior, loader, 11, checkpoint_dir=d, checkpoint_every=4
+        )
+        # restart from a FRESH state object: resume must pick up ckpt_11
+        s2 = svi.init_state(p0, key, adaptive=True)
+        s2 = trainer.train_streamed(
+            step, s2, prior, loader, 20, checkpoint_dir=d, checkpoint_every=4
+        )
+        assert int(s2.step) == 20
+        for a, b in zip(jax.tree.leaves(ref), jax.tree.leaves(s2)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 class TestAdaptiveStepSize:
     def test_adaptive_svi_converges(self):
         chain, z_true, prior, params0 = _chain_problem(seed=9)
