@@ -99,9 +99,14 @@ def bench_jax(batch=1024, iters=20, method="scan", family="gaussian"):
 
 
 def bench_oracle(n_seq=2):
-    """NumPy float64 oracle throughput (reference stand-in)."""
+    """float64 oracle throughput (reference stand-in): uses the C
+    forward-backward extension when built (the reference's own fast path
+    is Cython — SURVEY.md §2.2 — so the C-ext number is the STRONG
+    baseline: ~44 vs ~24 seq/s numpy-only at this shape, BASELINE.md),
+    falling back to the pure-NumPy loop."""
     from pysvihmm_tpu.oracle import numpy_ref as oracle
 
+    fb = oracle.forward_backward_fast if oracle.HAVE_C_EXT else oracle.forward_backward
     rng = np.random.default_rng(0)
     log_pi = np.log(rng.dirichlet(np.ones(K)))
     log_A = np.log(rng.dirichlet(np.ones(K), size=K))
@@ -114,7 +119,7 @@ def bench_oracle(n_seq=2):
     t0 = time.perf_counter()
     for _ in range(n_seq):
         ll = oracle.niw_expected_log_likelihood(mean, kappa, nu, psi, y)
-        oracle.forward_backward(log_pi, log_A, ll)
+        fb(log_pi, log_A, ll)
     dt = (time.perf_counter() - t0) / n_seq
     return 1.0 / dt, dt
 
