@@ -560,7 +560,7 @@ def lower_bound(
     params: HMMParams, prior: HMMParams, emission, obs: jax.Array, method: str = "auto"
 ) -> jax.Array:
     """Exact full-data ELBO at the current global state (fresh local step)."""
-    stats, _ = batch_local_step(params, emission, obs, method)
+    stats, _ = batch_local_step(params, emission, obs, method, need_gamma=False)
     return elbo_from_stats(params, prior, emission, stats.log_z)
 
 

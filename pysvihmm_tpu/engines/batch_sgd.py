@@ -32,7 +32,7 @@ def make_step(emission, tau: float = 1.0, kappa: float = 0.6, method: str = "aut
     @f32_matmuls
     def step(state: BatchSGDState, prior: HMMParams, obs: jax.Array):
         params = state.params
-        stats, _ = batch_local_step(params, emission, obs, method)
+        stats, _ = batch_local_step(params, emission, obs, method, need_gamma=False)
         elbo = elbo_from_stats(params, prior, emission, stats.log_z)
         rho = power_schedule(state.step.astype(params.init.dtype), tau, kappa)
         new_params = HMMParams(
@@ -73,7 +73,7 @@ def fit_state(
     def body(s, _):
         params = s.params
         stats, _ = batch_local_step(params, emission, obs, method,
-                                    prepared=prepared)
+                                    need_gamma=False, prepared=prepared)
         elbo = elbo_from_stats(params, prior, emission, stats.log_z)
         rho = power_schedule(s.step.astype(params.init.dtype), tau, kappa)
         new_params = HMMParams(

@@ -43,7 +43,7 @@ def make_step(emission, method: str = "auto"):
     @partial(jax.jit, static_argnames=())
     @f32_matmuls
     def step(params: HMMParams, prior: HMMParams, obs: jax.Array):
-        stats, _ = batch_local_step(params, emission, obs, method)
+        stats, _ = batch_local_step(params, emission, obs, method, need_gamma=False)
         elbo = elbo_from_stats(params, prior, emission, stats.log_z)
         new_params = HMMParams(
             init=dirichlet.posterior(prior.init, stats.init),
@@ -83,7 +83,8 @@ def fit(
 
     @f32_matmuls
     def body(p, _):
-        stats, _ = batch_local_step(p, emission, obs, method, prepared=prepared)
+        stats, _ = batch_local_step(p, emission, obs, method, need_gamma=False,
+                                    prepared=prepared)
         elbo = elbo_from_stats(p, prior, emission, stats.log_z)
         new_p = HMMParams(
             init=dirichlet.posterior(prior.init, stats.init),

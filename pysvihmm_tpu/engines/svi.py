@@ -355,7 +355,7 @@ def make_minibatch_step(emission, cfg: SVIConfig, num_seqs: int, method: str = "
 
         # unified batched local step (engines/base.py): packed pallas path
         # on TPU (no layout copies), scan elsewhere; stats arrive summed
-        stats, _ = batch_local_step(params, emission, batch, method)
+        stats, _ = batch_local_step(params, emission, batch, method, need_gamma=False)
         emit_stats, init_stats, trans_stats = stats.emit, stats.init, stats.trans
 
         target = HMMParams(

@@ -195,6 +195,42 @@ def kernel_precisions():
     )
 
 
+def _alpha_store_dtype(emit_gamma: bool = True):
+    """Storage dtype for the forward kernel's (T, R, PK) alpha output — the
+    E-step's second-largest HBM stream (written once, re-read by the
+    backward kernel). bf16 halves that traffic: measured +4-6% at the
+    K=64/T=1k headline (f32 131-140k vs bf16 141.8-142.7k, r4_tpu.jsonl).
+
+    Unlike bf16-STORED FEATURES (rejected: value-rounding y (x) y breaks
+    the NIW PSD margin — engines/base.py::_feats_store_dtype), rounding
+    alpha is structurally PSD-safe: the rounded gamma acts as a slightly
+    perturbed NONNEGATIVE weight multiplying the EXACT f32 features in one
+    contraction, so the emission moment matrix remains an exact weighted
+    sum of [1, y, y (x) y] outer features — PSD by construction. The
+    scale algebra stays consistent because log_c and the backward replay
+    factors are BOTH derived from the same stored (rounded) alpha, and the
+    per-sequence common-mode drift is removed by the in-kernel gamma/d
+    renormalization. Residual per-entry error ~4e-3 on gamma/xi — fine
+    for TRAINING statistics (Dirichlet counts, emission stat weights;
+    windowed subchain SVI at K=64/D=8 reaches Hamming 0.0 on chip), but
+    2000x looser than the f32 path's 1.9e-6 smoothed marginals.
+
+    Default policy: bf16 on TPU for gamma-FREE calls (emit_gamma=False —
+    pure training steps, where gamma never surfaces and only the
+    perturbed-weight stats remain); f32 whenever gamma is emitted
+    (decode / user-facing marginals keep their advertised accuracy) and
+    everywhere off-TPU. PYSVIHMM_BF16_ALPHA=1/0 forces either way.
+    """
+    import os
+
+    v = os.environ.get("PYSVIHMM_BF16_ALPHA", "").strip().lower()
+    if v in ("0", "false", "off"):
+        return jnp.float32
+    if v:
+        return jnp.bfloat16
+    return jnp.bfloat16 if (not emit_gamma and on_tpu()) else jnp.float32
+
+
 def _split_bf16(x):
     """f32 -> (hi, lo) bf16 pair with hi + lo == x to ~2^-16 relative."""
     hi = x.astype(jnp.bfloat16)
@@ -218,11 +254,13 @@ def _kdot(a, b, dims, prec, b_split=None):
     weights): hoists 2 VPU casts out of the loop.
     """
     if prec != "bf16x3":
-        if a.dtype == jnp.bfloat16 or b.dtype == jnp.bfloat16:
-            # mixed-dtype dots don't lower on Mosaic; an already-bf16
-            # operand (bf16-stored features) forces native-bf16 passes
-            a, b = a.astype(jnp.bfloat16), b.astype(jnp.bfloat16)
+        if a.dtype == jnp.bfloat16 and b.dtype == jnp.bfloat16:
+            # Mosaic rejects bf16 operands under an fp32 contract precision
             prec = lax.Precision.DEFAULT
+        elif a.dtype == jnp.bfloat16 or b.dtype == jnp.bfloat16:
+            # mixed-dtype dots don't lower on Mosaic; upcasting the bf16
+            # operand is exact and preserves the requested precision
+            a, b = a.astype(jnp.float32), b.astype(jnp.float32)
         return lax.dot_general(
             a, b, dims, preferred_element_type=jnp.float32, precision=prec
         )
@@ -293,7 +331,9 @@ def _emit_scales(alpha_ref, s_ref, K, prec):
         s_ref[...] = s2.reshape(P, C, tile_r)
     else:
         for p in range(P):
-            s_ref[p] = jnp.sum(alpha_ref[:, :, p * K : (p + 1) * K], axis=-1)
+            s_ref[p] = jnp.sum(
+                alpha_ref[:, :, p * K : (p + 1) * K].astype(jnp.float32), axis=-1
+            )
 
 
 def _fwd_kernel(pi_ref, A_ref, lik_ref, alpha_ref, s_ref, sh_ref, carry, *, C, K, log_in, prec):
@@ -341,7 +381,7 @@ def _fwd_kernel(pi_ref, A_ref, lik_ref, alpha_ref, s_ref, sh_ref, carry, *, C, K
         pi_ref[0, :][None, :] * lik0,
         raw_step(carry[:, :], lik0),
     )
-    alpha_ref[0] = a
+    alpha_ref[0] = a.astype(alpha_ref.dtype)
     # Per-sequence renorm every step, folded into the LIKELIHOOD operand:
     # (a * inv) @ A == (a @ A) * inv for a per-sequence scalar and
     # block-diagonal A, so the segment reduce + broadcast runs in parallel
@@ -349,7 +389,7 @@ def _fwd_kernel(pi_ref, A_ref, lik_ref, alpha_ref, s_ref, sh_ref, carry, *, C, K
     inv = _seg_bcast_inv(a, K)
     for p in range(1, C):
         a = raw_step(a, lik(p) * inv)
-        alpha_ref[p] = a
+        alpha_ref[p] = a.astype(alpha_ref.dtype)
         inv = _seg_bcast_inv(a, K)
     carry[:, :] = a * inv
 
@@ -428,7 +468,7 @@ def _bwd_kernel(
     # factor lives in the next-visited tile; applied at consumption below.
     el = _seg_shift_exp(lik_ref[...], K) if log_in else lik_ref[...]
     if C > 1:
-        r_prev = _seg_bcast_inv(alpha_ref[0 : C - 1], K)  # (..., PK) or (..., 1)
+        r_prev = _seg_bcast_inv(alpha_ref[0 : C - 1].astype(jnp.float32), K)  # (..., PK) or (..., 1)
         el = el * jnp.concatenate(
             [jnp.ones((1,) + r_prev.shape[1:], jnp.float32), r_prev], axis=0
         )
@@ -436,17 +476,17 @@ def _bwd_kernel(
 
     # 1/c of this tile's LAST step: seeds beta' at j = 0 (beta_hat = 1)
     # and replays the later tile's handed-over beta / d_0 at j != 0
-    inv_last = _seg_bcast_inv(alpha_ref[C - 1], K)
+    inv_last = _seg_bcast_inv(alpha_ref[C - 1].astype(jnp.float32), K)
 
     @pl.when(j != 0)
     def _():
         # pairing deferred from the previous (later-in-time) tile: its d_0
         # arrived unreplayed, so pair it against the NORMALIZED alpha_hat
-        acc_ref[:, :] += outer_acc(alpha_ref[C - 1] * inv_last, dcarry[:, :])
+        acc_ref[:, :] += outer_acc(alpha_ref[C - 1].astype(jnp.float32) * inv_last, dcarry[:, :])
 
     beta = jnp.where(j == 0, jnp.ones_like(inv_last), bcarry[:, :]) * inv_last
     for c in range(C - 1, -1, -1):
-        graw = alpha_ref[c] * beta
+        graw = alpha_ref[c].astype(jnp.float32) * beta
         # The beta' chain drifts by a slowly-accumulating per-sequence
         # f32-rounding scalar; dividing gamma_t and the stats-side d_t by
         # sum(graw) removes that common mode exactly (~1e-6 marginals) —
@@ -517,13 +557,13 @@ def _fwd_kernel_fused(
         pi_ref[0, :][None, :] * lik0,
         raw_step(carry[:, :], lik0),
     )
-    alpha_ref[0] = a
+    alpha_ref[0] = a.astype(alpha_ref.dtype)
     # per-sequence renorm every step, folded into the likelihood operand
     # so the segment reduce overlaps the MXU matmul (see _fwd_kernel)
     inv = _seg_bcast_inv(a, K)
     for p in range(1, C):
         a = raw_step(a, lik(p) * inv)
-        alpha_ref[p] = a
+        alpha_ref[p] = a.astype(alpha_ref.dtype)
         inv = _seg_bcast_inv(a, K)
     carry[:, :] = a * inv
 
@@ -596,7 +636,7 @@ def _bwd_kernel_fused(
     # next-visited tile and is applied at consumption (see docstring).
     el = _seg_shift_exp(ll.reshape(C, tile_r, PK_dim), K)
     if C > 1:
-        r_prev = _seg_bcast_inv(alpha_ref[0 : C - 1], K)  # (..., PK) or (..., 1)
+        r_prev = _seg_bcast_inv(alpha_ref[0 : C - 1].astype(jnp.float32), K)  # (..., PK) or (..., 1)
         el = el * jnp.concatenate(
             [jnp.ones((1,) + r_prev.shape[1:], jnp.float32), r_prev], axis=0
         )
@@ -614,15 +654,15 @@ def _bwd_kernel_fused(
     # 1/c of this tile's LAST step: seeds beta' at j = 0 (beta_hat = 1)
     # and replays the later tile's handed-over beta / d_0 at j != 0
     # (see _bwd_kernel: no scale arrays cross the kernel boundary)
-    inv_last = _seg_bcast_inv(alpha_ref[C - 1], K)
+    inv_last = _seg_bcast_inv(alpha_ref[C - 1].astype(jnp.float32), K)
 
     @pl.when(j != 0)
     def _():
-        acc_ref[:, :] += outer_acc(alpha_ref[C - 1] * inv_last, dcarry[:, :], prec)
+        acc_ref[:, :] += outer_acc(alpha_ref[C - 1].astype(jnp.float32) * inv_last, dcarry[:, :], prec)
 
     beta = jnp.where(j == 0, jnp.ones_like(inv_last), bcarry[:, :]) * inv_last
     for c in range(C - 1, -1, -1):
-        graw = alpha_ref[c] * beta
+        graw = alpha_ref[c].astype(jnp.float32) * beta
         inv = _seg_bcast_inv(graw, K)  # off the beta chain (outputs only)
         gamma_c = graw * inv
         if emit_gamma:
@@ -868,6 +908,7 @@ def pallas_estep_fused(
     A_blk = jnp.kron(jnp.eye(P, dtype=jnp.float32), A_tilde)  # (PK, PK)
     W_blk = jnp.kron(jnp.eye(P, dtype=jnp.float32), W.astype(jnp.float32))  # (PF, PK)
     pi_blk = jnp.tile(pi_tilde, (P,))[None, :]  # (1, PK)
+    adt = _alpha_store_dtype(emit_gamma)  # trace-time policy/env read
 
     feats_p = feats if feats_packed else feats.reshape(T, R, PIN)
 
@@ -905,7 +946,7 @@ def pallas_estep_fused(
             ),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((T, R, PK), jnp.float32),
+            jax.ShapeDtypeStruct((T, R, PK), adt),
             jax.ShapeDtypeStruct((P, T, R), jnp.float32),
             jax.ShapeDtypeStruct((P, T, R), jnp.float32),
         ],
@@ -1115,7 +1156,7 @@ def pallas_forward_backward_batched(
             ),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((T, R, PK), jnp.float32),
+            jax.ShapeDtypeStruct((T, R, PK), _alpha_store_dtype()),
             jax.ShapeDtypeStruct((P, T, R), jnp.float32),
             jax.ShapeDtypeStruct((P, T, R), jnp.float32),
         ],

@@ -76,7 +76,7 @@ def sharded_local_step(params, emission, obs, mesh, method: str = "auto"):
     """
 
     def local(p, o):
-        stats, _ = batch_local_step(p, emission, o, method)
+        stats, _ = batch_local_step(p, emission, o, method, need_gamma=False)
         return jax.tree.map(partial(jax.lax.psum, axis_name="data"), stats)
 
     return jax.shard_map(
@@ -134,7 +134,7 @@ def make_dp_minibatch_svi_step(emission, cfg, num_seqs: int, mesh: Mesh,
 
         # unified batched local step: resolves method="auto" (pallas on TPU,
         # with packed emission stats) and already sums stats over the shard
-        stats, _ = batch_local_step(params, emission, batch, method)
+        stats, _ = batch_local_step(params, emission, batch, method, need_gamma=False)
         return jax.tree.map(partial(jax.lax.psum, axis_name="data"), stats)
 
     @jax.jit
