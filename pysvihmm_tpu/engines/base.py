@@ -420,7 +420,7 @@ def prepare_fused_obs(params, emission, obs):
 
 
 def _pallas_fused_estep(params, emission, obs, weights=None, need_gamma=True,
-                        prepared=None):
+                        prepared=None, gamma_sel=None):
     """Fully-fused kernel E-step (likelihoods + FB + all stats in-kernel).
 
     Returns (FBResult with gamma packed (T, B/P, P*K) or None, emission
@@ -469,6 +469,14 @@ def _pallas_fused_estep(params, emission, obs, weights=None, need_gamma=True,
             emission, params.emit, obs_tm, params.init.shape[0]
         )
     w_tm = jnp.swapaxes(weights, 0, 1) if weights is not None else None
+    extra = {}
+    if gamma_sel is not None:
+        # in-kernel per-window gamma pick (fused kernels only; the duplex
+        # experiment does not implement it)
+        if estep is not pallas_estep_fused:
+            raise ValueError("gamma_sel requires the fused kernels")
+        extra = {"gamma_sel": gamma_sel}
+        need_gamma = False
     fb, S = estep(
         log_pi,
         log_A,
@@ -476,6 +484,7 @@ def _pallas_fused_estep(params, emission, obs, weights=None, need_gamma=True,
         feats,
         weights=w_tm,
         emit_gamma=need_gamma,
+        **extra,
         in_kernel_feats=kind,
         feats_packed=packing,
         tiles=_fused_tiles_override(),
@@ -513,6 +522,31 @@ def windowed_local_step(
     gather), so no whole-array (B,W,K)<->(W,B,K) re-layout copies are paid.
     """
     method = messages.resolve_method(method, time_len=windows.shape[1])
+    from ..distributions.emissions import MultinomialDirichlet
+    from ..models.hmm import ONE_HOT_MAX_V
+
+    large_v = (
+        emission is MultinomialDirichlet and params.emit.shape[-1] > ONE_HOT_MAX_V
+    )
+    if (
+        method == "pallas_fused"
+        and not large_v
+        and os.environ.get("PYSVIHMM_GAMMA_SEL")
+        and not os.environ.get("PYSVIHMM_DUPLEX")
+    ):
+        # MEASUREMENT knob, OFF by default: gamma-free windowed step — the
+        # per-window offset marginal is accumulated IN-KERNEL
+        # (pallas_fb.py gamma_sel), so the (W, B, K) gamma array is never
+        # written and the one-hot contraction below disappears. MEASURED
+        # SLOWER on chip at the production W=72 shapes (B=32: 0.75 vs
+        # 0.61 ms; B=1024: 1.67 vs 1.63 — r4_tpu.jsonl): the avoided
+        # gamma traffic is only ~25 us at this W while the extra
+        # (C, R, P) sel stream + per-cell accumulate cost more. Kept as
+        # a knob for LARGE-window regimes where gamma traffic dominates.
+        fb, emit_stats = _pallas_fused_estep(
+            params, emission, windows, maskf, gamma_sel=offs
+        )
+        return emit_stats, fb.trans_stats, fb.init_stats, fb.log_c
     if method in ("pallas", "pallas_fused"):
         if method == "pallas_fused":
             fb, emit_stats = _pallas_fused_estep(

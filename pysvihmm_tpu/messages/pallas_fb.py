@@ -576,7 +576,7 @@ def _fwd_kernel_fused(
 
 def _bwd_kernel_fused(
     A_ref, W_ref, feats_ref, alpha_ref, *rest,
-    C, K, D, kind, gated, emit_gamma, prec, ll_prec, stats_prec
+    C, K, D, kind, gated, emit_gamma, sel_mode, prec, ll_prec, stats_prec
 ):
     """Backward tile fusing beta + gamma + pair stats + EMISSION stats.
 
@@ -589,10 +589,15 @@ def _bwd_kernel_fused(
     written (training consumes only the stats; the t=0 smoothed marginal
     that init_stats needs comes out through the tiny gamma0 output).
 
-    rest (in order): [w_ref if gated] [g_ref if gated] then outputs
-    (gamma_ref | gamma0_ref), acc_ref, eacc_ref, then scratches bcarry,
-    dcarry, dstash, llbuf, gbuf. w_ref is the kept-mask (C, R, P) gating
-    the emission/init stats; g_ref the pair gate for the transition stats.
+    rest (in order): [w_ref if gated] [g_ref if gated] [sel_ref if
+    sel_mode] then outputs (gamma_ref | gamma0_ref), acc_ref, eacc_ref,
+    then scratches bcarry, dcarry, dstash, llbuf, gbuf. w_ref is the
+    kept-mask (C, R, P) gating the emission/init stats; g_ref the pair
+    gate for the transition stats. sel_mode: sel_ref is a (C, R, P)
+    per-sequence one-hot over TIME, and the gamma0-slot output
+    accumulates sum_t sel_t * gamma_t (UNgated) instead of gamma at
+    t = 0 — the windowed engines' per-window marginal pick, fused so
+    the full (T, R, PK) gamma array is never written to HBM at all.
     """
     idx = 0
     if gated:
@@ -600,6 +605,11 @@ def _bwd_kernel_fused(
         idx = 2
     else:
         w_ref = g_ref = None
+    if sel_mode:
+        sel_ref = rest[idx]
+        idx += 1
+    else:
+        sel_ref = None
     gout_ref, acc_ref, eacc_ref = rest[idx], rest[idx + 1], rest[idx + 2]
     bcarry, dcarry, dstash, llbuf, gbuf = rest[idx + 3 :]
 
@@ -623,6 +633,13 @@ def _bwd_kernel_fused(
     def _():
         acc_ref[:, :] = jnp.zeros_like(acc_ref)
         eacc_ref[:, :] = jnp.zeros_like(eacc_ref)
+
+    if sel_mode:
+        # gout is a per-row-tile block revisited across the (reversed)
+        # time grid: zero it on this row tile's first visit
+        @pl.when(j == 0)
+        def _():
+            gout_ref[:, :] = jnp.zeros_like(gout_ref)
 
     # prologue: recompute this tile's log-likelihoods (bit-identical to fwd)
     raw = feats_ref[...].reshape(C * tile_r, feats_ref.shape[2])
@@ -661,12 +678,18 @@ def _bwd_kernel_fused(
         acc_ref[:, :] += outer_acc(alpha_ref[C - 1].astype(jnp.float32) * inv_last, dcarry[:, :], prec)
 
     beta = jnp.where(j == 0, jnp.ones_like(inv_last), bcarry[:, :]) * inv_last
+    gsel = None
     for c in range(C - 1, -1, -1):
         graw = alpha_ref[c].astype(jnp.float32) * beta
         inv = _seg_bcast_inv(graw, K)  # off the beta chain (outputs only)
         gamma_c = graw * inv
         if emit_gamma:
             gout_ref[c] = gamma_c
+        if sel_mode:
+            # per-window time-pick, UNgated (matches the scan path's
+            # gamma-at-offset contract); VPU mul-add off the chain
+            contrib = gamma_c * lane_bcast(sel_ref[c])
+            gsel = contrib if gsel is None else gsel + contrib
         # stats-side gamma: kept-mask-gated (emission stats and, at t=0,
         # the init stats both want w_t * gamma_t)
         gbuf[c] = gamma_c * lane_bcast(w_ref[c]) if gated else gamma_c
@@ -675,7 +698,9 @@ def _bwd_kernel_fused(
         beta = chain_step(d)
     bcarry[:, :] = beta  # unreplayed: the next tile applies its 1/c_last
     dcarry[:, :] = dstash[0]
-    if not emit_gamma:
+    if sel_mode:
+        gout_ref[:, :] += gsel
+    elif not emit_gamma:
         # t = 0 lives in the LAST visited tile (time grid runs reversed)
         @pl.when(j == nT - 1)
         def _():
@@ -827,6 +852,11 @@ def pallas_estep_fused(
     feats: jax.Array,  # (T, B, F) TIME-MAJOR features — or raw (T, B, D)
     #                    observations when in_kernel_feats is set
     weights: jax.Array | None = None,  # (T, B) kept-mask (SVI buffers)
+    gamma_sel: jax.Array | None = None,  # (B,) int per-sequence time pick:
+    #   requires emit_gamma=False; the gamma0-slot output becomes the
+    #   UNgated smoothed marginal gamma[sel_b] per sequence, accumulated
+    #   IN-KERNEL so the (T, B, K) gamma array is never written (the
+    #   windowed SVI engines' per-window offset pick)
     interpret: bool = False,
     tiles: tuple[int, int] | None = None,
     emit_gamma: bool = False,
@@ -992,6 +1022,23 @@ def pallas_estep_fused(
                 )
             )
 
+    sel_mode = gamma_sel is not None
+    if sel_mode:
+        if emit_gamma:
+            raise ValueError("gamma_sel requires emit_gamma=False")
+        # (B,) time picks -> (T, R, P) lane-packed one-hot over time
+        sel3 = jnp.swapaxes(
+            jax.nn.one_hot(gamma_sel, T, dtype=jnp.float32), 0, 1
+        ).reshape(T, R, P)
+        bwd_inputs.append(sel3)
+        bwd_in_specs.append(
+            pl.BlockSpec(
+                (C, tile_r, P),
+                lambda i, j, nT=nT: (nT - 1 - j, i, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+
     if emit_gamma:
         gamma_spec = pl.BlockSpec(
             (C, tile_r, PK),
@@ -1009,7 +1056,7 @@ def pallas_estep_fused(
         functools.partial(
             _bwd_kernel_fused,
             C=C, K=K, D=D, kind=in_kernel_feats, gated=gated,
-            emit_gamma=emit_gamma,
+            emit_gamma=emit_gamma, sel_mode=sel_mode,
             prec=precision, ll_prec=ll_precision, stats_prec=stats_precision,
         ),
         grid=(nR, nT),
@@ -1046,7 +1093,9 @@ def pallas_estep_fused(
             init_g = init_g * w_tm.reshape(T, B)[0][:, None]
         gamma = gamma_out
     else:
-        # gamma0 output is already kept-mask-gated in-kernel
+        # t0 mode: gamma0 output is already kept-mask-gated in-kernel.
+        # sel mode: the slot holds the UNgated per-sequence time-pick
+        # sum_t sel_t gamma_t (the windowed engines' offset marginal).
         init_g = gamma_out.reshape(B, K)
         gamma = None
 

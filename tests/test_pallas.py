@@ -307,6 +307,20 @@ class TestPallasFusedEstep:
         out_s = windowed_local_step(params, GaussianNIW, windows, maskf, offs, "scan")
         for a, b in zip(jax.tree.leaves(out_f), jax.tree.leaves(out_s)):
             np.testing.assert_allclose(np.array(a), np.array(b), rtol=2e-4, atol=1e-5)
+        # the in-kernel gamma_sel variant (PYSVIHMM_GAMMA_SEL knob: the
+        # per-window offset marginal accumulated in the backward kernel,
+        # no (W, B, K) gamma array at all) must match the gather path
+        import os
+
+        os.environ["PYSVIHMM_GAMMA_SEL"] = "1"
+        try:
+            out_k = windowed_local_step(
+                params, GaussianNIW, windows, maskf, offs, "pallas_fused"
+            )
+        finally:
+            del os.environ["PYSVIHMM_GAMMA_SEL"]
+        for a, b in zip(jax.tree.leaves(out_k), jax.tree.leaves(out_s)):
+            np.testing.assert_allclose(np.array(a), np.array(b), rtol=2e-4, atol=1e-5)
 
     def test_unpacked_K128_and_odd_D(self):
         """P=1 (no lane packing, K=128) and an odd feature width (D=3 ->
