@@ -96,6 +96,7 @@ def long_chain_local_stats(
     emission,
     chain: jax.Array,
     block_size: int = 256,
+    impl: str | None = None,
 ) -> LocalStats:
     """Exact full-chain local stats for ONE very long chain, streaming.
 
@@ -108,16 +109,32 @@ def long_chain_local_stats(
     regime of the reference paper's T~250M chromatin experiment (Foti et
     al. 2014 §4), which the non-streaming blocked path cannot reach.
 
-    Call under `jax.jit` (static: emission, block_size). Eager calls work
-    but pay per-op dispatch latency — on the axon relay that is ~3.5 ms/op
-    and turns a 0.17 s jitted T=100k E-step into ~9.5 s
+    Call under `jax.jit` (static: emission, block_size, impl). Eager calls
+    work but pay per-op dispatch latency — on the axon relay that is
+    ~3.5 ms/op and turns a 0.1 s jitted T=100k E-step into ~9.5 s
     (bench_results/r3_tpu.jsonl).
+
+    impl: "twophase" (default — tree-reduced block products + seeded
+    vmapped sweeps; 3.6x the assoc tier on chip, 3.9M chain steps/s at
+    T=200k/K=64, r4_tpu.jsonl) or "assoc" (the associative-scan tier;
+    also reachable via PYSVIHMM_STREAM_IMPL=assoc). Both are exact and
+    machine-precision-equal in f64.
     """
-    from ..messages.blocked import forward_backward_blocked_stream
+    from ..messages.blocked import (
+        forward_backward_blocked_stream,
+        forward_backward_blocked_twophase,
+    )
+
+    if impl is None:
+        impl = os.environ.get("PYSVIHMM_STREAM_IMPL", "twophase")
+    fb_stream = {
+        "twophase": forward_backward_blocked_twophase,
+        "assoc": forward_backward_blocked_stream,
+    }[impl]
 
     log_pi, log_A = expected_log_params(params)
     ll = emission.expected_log_likelihood(params.emit, chain)  # (T, K)
-    r = forward_backward_blocked_stream(
+    r = fb_stream(
         log_pi,
         log_A,
         ll,

@@ -136,6 +136,265 @@ def forward_backward_blocked(
     )
 
 
+def _block_products(A_tilde, lik_tr, valid, n_blocks, S, chunk_blocks=64):
+    """Per-block transfer-operator products Q_b = M_{bS+1} .. M_{(b+1)S}
+    (row-vector convention: alpha @ Q advances a whole block), tree-reduced
+    with per-level max renorm, streamed in chunks of blocks so no
+    (T, K, K) array ever exists.
+
+    The leaf level pairs factored matrices M = A~ * lik[None, :] DIRECTLY
+    from the likelihood rows (one K^3 matmul per pair, no M
+    materialization); identity padding (invalid transitions) is folded in
+    via a select on the factored form's two likelihood rows, which is
+    exact here because padding only ever trails the LAST real transition:
+    a padded pair is (M, I) or (I, I), and (A~ * l1) @ I-with-l2=1 is
+    wrong — so instead invalid leaves select the identity matrix
+    explicitly. Dropped renorm scales cancel in the normalized boundary
+    messages (the only consumer). Products run at DEFAULT matmul
+    precision: they steer boundary SEEDS only, and a seed misalignment
+    eps contributes ~eps nats per block to log Z (analysis in
+    forward_backward_blocked_twophase), far below f32's own resolution
+    at these magnitudes; under x64 DEFAULT is exact f64, so oracle-parity
+    tests are unaffected.
+    """
+    K = A_tilde.shape[0]
+    dtype = lik_tr.dtype
+    eye = jnp.eye(K, dtype=dtype)
+    prec = lax.Precision.DEFAULT
+
+    def mm(x, y):
+        r = jnp.einsum("nij,njk->nik", x, y, precision=prec,
+                       preferred_element_type=dtype)
+        return r / jnp.max(r, axis=(1, 2), keepdims=True)
+
+    def chunk_products(lik_blk, val_blk):
+        # lik_blk (CB, S, K), val_blk (CB, S) -> (CB, K, K)
+        CB = lik_blk.shape[0]
+        l2 = lik_blk.reshape(CB * S // 2, 2, K)
+        v2 = val_blk.reshape(CB * S // 2, 2)
+        # leaf pair product in factored form, identity where invalid
+        Ml = jnp.where(v2[:, 0, None, None], A_tilde[None] * l2[:, 0][:, None, :], eye[None])
+        Mr = jnp.where(v2[:, 1, None, None], A_tilde[None] * l2[:, 1][:, None, :], eye[None])
+        Q = mm(Ml, Mr)  # (CB*S/2, K, K)
+        m = CB * S // 2
+        while m > CB:
+            Q = mm(Q[0::2], Q[1::2])
+            m //= 2
+        return Q  # (CB, K, K)
+
+    if S == 1:
+        def chunk_products(lik_blk, val_blk):  # noqa: F811 — S=1 degenerate
+            return jnp.where(
+                val_blk[:, 0, None, None],
+                A_tilde[None] * lik_blk[:, 0][:, None, :],
+                eye[None],
+            )
+
+    CB = min(chunk_blocks, n_blocks)
+    while n_blocks % CB:
+        CB -= 1
+    lik_c = lik_tr.reshape(n_blocks // CB, CB, S, K)
+    val_c = valid.reshape(n_blocks // CB, CB, S)
+    _, Q = lax.scan(
+        lambda c, xs: (c, chunk_products(*xs)), 0, (lik_c, val_c)
+    )
+    return Q.reshape(n_blocks, K, K)
+
+
+def forward_backward_blocked_twophase(
+    log_pi: jax.Array,
+    log_A: jax.Array,
+    log_lik: jax.Array,
+    block_size: int = 256,
+    stat_xs: jax.Array | None = None,
+    stat_fn=None,
+    stat_init=None,
+) -> StreamStats:
+    """Two-phase streaming FB for very long single chains — the fast tier.
+
+    Same contract and O(T K) memory as
+    :func:`forward_backward_blocked_stream`, but restructured to kill that
+    path's dominant cost: `lax.associative_scan` materializes full
+    (S, K, K) prefix-product arrays at EVERY tree level (~2 log2(S)
+    passes of S*K^2 floats per block — measured on chip: the assoc-scan
+    tier runs T=10M at 1.23M steps/s and collapses beyond S=512). Here,
+    the sequential-vs-parallel split follows messages/time_sharded.py's
+    three-phase schedule, applied single-device at BLOCK granularity:
+
+      1. per-block K x K transfer products Q_b, tree-REDUCED (products
+         only, no prefixes: ~2 T K^2 floats of traffic total, in chunks);
+      2. boundary recursions over blocks (2 sequential scans of n_blocks
+         tiny steps): exact filtered alpha at every block start, exact
+         beta seed at every block end;
+      3. seeded VECTOR sweeps inside all blocks at once, vmapped ACROSS
+         blocks: each in-block step is one (n_blocks, K) @ (K, K) MXU
+         matmul, so the sequential depth is S (not T) and the rows axis
+         carries n_blocks sequences of work. Per-step log normalizers
+         seeded by the TRUE filtered alpha reproduce the global scaling
+         constants exactly (time_sharded.py's log_pi_loc identity), and
+         the backward sweep fuses gamma, pairwise stats, and the
+         emission-stat reduction exactly as the assoc tier does.
+
+    Phase-1 products run at DEFAULT matmul precision: a boundary-seed
+    misalignment eps costs ~eps nats of log Z per block (the seeded
+    scan's normalizers telescope within a block), so even 1e-3-grade
+    products contribute < f32's own rounding of log Z; under x64 they
+    are exact f64 and the f64 oracle-parity suite pins the math.
+
+    Per-step kept-masks are not supported (exact full-chain E-steps only,
+    as for the assoc tier).
+    """
+    T, K = log_lik.shape
+    dtype = log_lik.dtype
+    lik, shifts = _normalize_loglik(log_lik)
+    have_stats = stat_fn is not None
+    if have_stats and stat_xs is None:
+        raise ValueError("stat_fn requires stat_xs (the per-step operand)")
+
+    if T == 1:
+        v0 = jnp.exp(log_pi) * lik[0]
+        c0 = jnp.sum(v0)
+        gamma0 = v0 / c0
+        acc = None
+        if have_stats:
+            acc = stat_fn(gamma0[None], stat_xs[:1])
+            if stat_init is not None:
+                acc = jax.tree.map(lambda a, z: a + z.astype(a.dtype), acc, stat_init)
+        return StreamStats(
+            log_z=jnp.log(c0) + jnp.sum(shifts),
+            init_stats=gamma0,
+            trans_stats=jnp.zeros((K, K), dtype),
+            acc=acc,
+        )
+
+    # S must be a power of two: the chunked tree reduce pairs a FLAT stack
+    # of per-block factors, which stays within block boundaries only while
+    # every level's per-block count is even
+    S = 1 << (min(block_size, T - 1).bit_length() - 1)
+    A_tilde = jnp.exp(log_A).astype(dtype)
+    n_trans = T - 1
+    pad = _pad_count(n_trans, S)
+    n_blocks = (n_trans + pad) // S
+
+    lik_tr = jnp.concatenate([lik[1:], jnp.ones((pad, K), dtype)], axis=0)
+    valid = jnp.concatenate(
+        [jnp.ones((n_trans,), dtype), jnp.zeros((pad,), dtype)], axis=0
+    )
+    valid_b = jnp.concatenate(
+        [jnp.ones((n_trans,), bool), jnp.zeros((pad,), bool)], axis=0
+    )
+
+    # ---- phase 1: block products (chunked tree reduce) ----
+    Q = _block_products(
+        A_tilde, lik_tr.reshape(n_blocks, S, K), valid_b.reshape(n_blocks, S),
+        n_blocks, S,
+    )
+
+    # ---- phase 2: boundary recursions over blocks ----
+    a0 = jnp.exp(log_pi).astype(dtype) * lik[0]
+    c0 = jnp.sum(a0)
+    alpha0 = a0 / c0
+
+    def fwd_bound(a, Qb):
+        an = a @ Qb
+        an = an / jnp.sum(an)
+        return an, a  # emit the seed at the block's START
+
+    _, seeds_a = lax.scan(fwd_bound, alpha0, Q)  # (n_blocks, K)
+
+    def bwd_bound(b, Qb):
+        bn = Qb @ b
+        bn = bn / jnp.sum(bn)
+        return bn, b  # emit beta at the block's END
+
+    _, seeds_b = lax.scan(
+        bwd_bound, jnp.full((K,), 1.0 / K, dtype), Q, reverse=True
+    )  # (n_blocks, K) — beta at time (b+1)S, normalized
+
+    # ---- phase 3: vmapped in-block sweeps (sequential depth S) ----
+    lik_s = jnp.swapaxes(lik_tr.reshape(n_blocks, S, K), 0, 1)  # (S, nB, K)
+    val_s = jnp.swapaxes(valid.reshape(n_blocks, S), 0, 1)  # (S, nB)
+
+    def fwd_step(a, xs):
+        l_t, v_t = xs
+        au = (a @ A_tilde) * l_t
+        c = jnp.sum(au, axis=-1)
+        a_new = au / c[:, None]
+        keep = v_t[:, None]
+        a = keep * a_new + (1.0 - keep) * a
+        return a, (a, jnp.where(v_t, jnp.log(c), 0.0))
+
+    _, (alphas, log_cs) = lax.scan(fwd_step, seeds_a, (lik_s, val_s))
+    # alphas (S, nB, K): alpha at time bS + s + 1
+    log_z = jnp.log(c0) + jnp.sum(log_cs) + jnp.sum(shifts)
+
+    if have_stats:
+        target = n_blocks * S
+        xs_p = stat_xs[1 : target + 1]
+        if xs_p.shape[0] < target:
+            pad_rows = jnp.zeros(
+                (target - xs_p.shape[0],) + stat_xs.shape[1:], stat_xs.dtype
+            )
+            xs_p = jnp.concatenate([xs_p, pad_rows], axis=0)
+        xs_s = jnp.swapaxes(
+            xs_p.reshape((n_blocks, S) + stat_xs.shape[1:]), 0, 1
+        )  # (S, nB, ...) aligned with times bS + s + 1
+        out_sds = jax.eval_shape(
+            stat_fn,
+            jax.ShapeDtypeStruct((n_blocks, K), dtype),
+            jax.ShapeDtypeStruct(xs_s.shape[1:], stat_xs.dtype),
+        )
+        acc0 = jax.tree.map(lambda z, o: jnp.asarray(z, o.dtype), stat_init, out_sds)
+    else:
+        xs_s = jnp.zeros((S, n_blocks, 0), dtype)
+        acc0 = jnp.zeros((0,), dtype)
+
+    # alpha at time bS + s (the xi left operand): alphas shifted one step,
+    # closed by the block-start seeds
+    a_prev = jnp.concatenate([seeds_a[None], alphas[:-1]], axis=0)
+
+    def bwd_step(carry, xs):
+        b, acc_tr, acc_st = carry  # b: beta at time bS + s + 1 (this step)
+        l_t, v_t, al_t, ap_t, xsb = xs
+        keep = v_t[:, None]
+
+        if have_stats:
+            g = al_t * b
+            gamma = g / jnp.sum(g, axis=-1, keepdims=True)
+            gamma = gamma * keep
+            acc_st = jax.tree.map(jnp.add, acc_st, stat_fn(gamma, xsb))
+
+        bl = l_t * b  # (nB, K)
+        n = jnp.einsum("bk,bk->b", ap_t @ A_tilde, bl)
+        aw = ap_t * (v_t / n)[:, None]
+        acc_tr = acc_tr + A_tilde * jnp.einsum("bi,bj->ij", aw, bl)
+
+        b_new = bl @ A_tilde.T
+        b_new = b_new / jnp.sum(b_new, axis=-1, keepdims=True)
+        b = keep * b_new + (1.0 - keep) * b
+        return (b, acc_tr, acc_st), None
+
+    (beta_first, trans_stats, acc), _ = lax.scan(
+        bwd_step,
+        (seeds_b, jnp.zeros((K, K), dtype), acc0),
+        (lik_s, val_s, alphas, a_prev, xs_s),
+        reverse=True,
+    )
+    # beta_first[b] = beta at time bS; block 0's row is beta at time 0
+    g0 = alpha0 * beta_first[0]
+    init_stats = g0 / jnp.sum(g0)
+    if have_stats:
+        acc = jax.tree.map(
+            jnp.add, acc, stat_fn(init_stats[None], stat_xs[:1])
+        )
+    else:
+        acc = None
+
+    return StreamStats(
+        log_z=log_z, init_stats=init_stats, trans_stats=trans_stats, acc=acc
+    )
+
+
 def forward_backward_blocked_stream(
     log_pi: jax.Array,
     log_A: jax.Array,

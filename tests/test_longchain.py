@@ -300,7 +300,7 @@ class TestBlockedStream:
     the same reduced stats as the scan E-step for every family and padding
     case — it is the exact long-chain (T = millions) production path."""
 
-    def _check(self, emission, chain, K, S, tol, **prior_kw):
+    def _check(self, emission, chain, K, S, tol, impl="twophase", **prior_kw):
         from pysvihmm_tpu.engines.base import batch_local_step, long_chain_local_stats
         from pysvihmm_tpu.models.hmm import init_params, make_prior
 
@@ -310,7 +310,9 @@ class TestBlockedStream:
             params, emission, chain[None], method="scan", need_gamma=False
         )
         got = jax.jit(
-            lambda p, c: long_chain_local_stats(p, emission, c, block_size=S)
+            lambda p, c: long_chain_local_stats(
+                p, emission, c, block_size=S, impl=impl
+            )
         )(params, chain)
         np.testing.assert_allclose(float(got.log_z), float(ref.log_z), rtol=tol)
         np.testing.assert_allclose(
@@ -324,23 +326,26 @@ class TestBlockedStream:
                 np.array(a), np.array(b), rtol=50 * tol, atol=50 * tol
             )
 
+    @pytest.mark.parametrize("impl", ["twophase", "assoc"])
     @pytest.mark.parametrize("T,S", [(210, 64), (129, 64), (65, 64), (2, 8), (40, 8)])
-    def test_gaussian_matches_scan(self, T, S, enable_x64):
+    def test_gaussian_matches_scan(self, T, S, impl, enable_x64):
         from pysvihmm_tpu.data.synthetic import gen_gaussian_dataset
         from pysvihmm_tpu.distributions import GaussianNIW
 
         K, D = 5, 3
         obs, _, _ = gen_gaussian_dataset(jax.random.PRNGKey(0), K, D, 1, T)
         chain = obs[0].astype(jnp.float64)
-        self._check(GaussianNIW, chain, K, S, tol=1e-9, obs_dim=D)
+        self._check(GaussianNIW, chain, K, S, tol=1e-9, impl=impl, obs_dim=D)
 
-    def test_multinomial_matches_scan(self, enable_x64):
+    @pytest.mark.parametrize("impl", ["twophase", "assoc"])
+    def test_multinomial_matches_scan(self, impl, enable_x64):
         from pysvihmm_tpu.data.synthetic import gen_multinomial_dataset
         from pysvihmm_tpu.distributions import MultinomialDirichlet
 
         K, V, T = 4, 11, 137
         obs, _, _ = gen_multinomial_dataset(jax.random.PRNGKey(1), K, V, 1, T)
-        self._check(MultinomialDirichlet, obs[0], K, 32, tol=1e-9, num_symbols=V)
+        self._check(MultinomialDirichlet, obs[0], K, 32, tol=1e-9, impl=impl,
+                    num_symbols=V)
 
     def test_f32_long(self):
         """T=20k f32: stats agree with scan to float tolerance."""
