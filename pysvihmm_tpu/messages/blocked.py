@@ -209,6 +209,7 @@ def forward_backward_blocked_twophase(
     stat_xs: jax.Array | None = None,
     stat_fn=None,
     stat_init=None,
+    beta_end: jax.Array | None = None,
 ) -> StreamStats:
     """Two-phase streaming FB for very long single chains — the fast tier.
 
@@ -243,6 +244,12 @@ def forward_backward_blocked_twophase(
 
     Per-step kept-masks are not supported (exact full-chain E-steps only,
     as for the assoc tier).
+
+    beta_end: optional (K,) backward seed at the LAST time (default: the
+    uninformative ones seed). Lets a time-sharded caller run this path
+    per device tile with its right-neighbor's boundary message
+    (messages/time_sharded.py::time_sharded_long_chain_stats); a scalar
+    rescale of the seed is immaterial (every consumer renormalizes).
     """
     T, K = log_lik.shape
     dtype = log_lik.dtype
@@ -254,7 +261,8 @@ def forward_backward_blocked_twophase(
     if T == 1:
         v0 = jnp.exp(log_pi) * lik[0]
         c0 = jnp.sum(v0)
-        gamma0 = v0 / c0
+        g = v0 if beta_end is None else v0 * beta_end
+        gamma0 = g / jnp.sum(g)
         acc = None
         if have_stats:
             acc = stat_fn(gamma0[None], stat_xs[:1])
@@ -307,8 +315,11 @@ def forward_backward_blocked_twophase(
         bn = bn / jnp.sum(bn)
         return bn, b  # emit beta at the block's END
 
+    b_seed = jnp.full((K,), 1.0 / K, dtype)
+    if beta_end is not None:
+        b_seed = beta_end / jnp.sum(beta_end)
     _, seeds_b = lax.scan(
-        bwd_bound, jnp.full((K,), 1.0 / K, dtype), Q, reverse=True
+        bwd_bound, b_seed, Q, reverse=True
     )  # (n_blocks, K) — beta at time (b+1)S, normalized
 
     # ---- phase 3: vmapped in-block sweeps (sequential depth S) ----

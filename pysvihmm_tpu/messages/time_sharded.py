@@ -197,6 +197,175 @@ def time_sharded_forward_backward(
     )
 
 
+def time_sharded_long_chain_stats(
+    log_pi: jax.Array,
+    log_A: jax.Array,
+    log_lik: jax.Array,  # (T, K) — gets time-sharded inside
+    mesh: Mesh,
+    axis: str = "time",
+    block_size: int = 256,
+    stat_xs: jax.Array | None = None,
+    stat_fn=None,
+    stat_init=None,
+):
+    """Streaming long-chain E-step with the TIME axis sharded over a mesh —
+    the multi-chip route to the reference paper's T≈250M regime.
+
+    One chip's HBM bounds the single-device two-phase tier at T ~ 15M
+    (3 T K floats); this composes the same three-phase schedule ACROSS
+    devices: per-device tile transfer products (chunked tree reduce, no
+    (C, K, K) materialization), ONE tiny `all_gather` of the D tile
+    operators, replicated boundary recursions, then each device runs
+    :func:`~pysvihmm_tpu.messages.blocked.forward_backward_blocked_twophase`
+    on its own tile seeded by its neighbors' boundary messages (log_pi :=
+    log(a_in @ A~) reproduces the global per-step scaling constants
+    exactly — the module's phase-3 identity; beta_end seeds the backward).
+    Cross-tile pairwise stats need no extra communication (the boundary
+    xi uses only replicated a_in + the tile's first likelihood row and
+    beta). Returns a :class:`~pysvihmm_tpu.messages.blocked.StreamStats`
+    with log_z / trans / acc psum-reduced (replicated) and init_stats =
+    gamma_0 from the first tile. Exact: matches the single-device scan to
+    float tolerance (tests/test_longchain.py::TestShardedStream).
+    """
+    from .blocked import (
+        StreamStats,
+        _block_products,
+        _pad_count,
+        forward_backward_blocked_twophase,
+    )
+
+    T, K = log_lik.shape
+    D = mesh.shape[axis]
+    if T % D != 0:
+        raise ValueError(f"T={T} must be divisible by time-axis size {D}")
+    C = T // D
+    have_stats = stat_fn is not None
+    if have_stats and stat_xs is None:
+        raise ValueError("stat_fn requires stat_xs")
+    xs_arg = stat_xs if have_stats else jnp.zeros((T, 0), log_lik.dtype)
+
+    spec_tk = P(axis, None)
+    spec_t = P(axis) if (have_stats and stat_xs.ndim == 1) else P(axis, None)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), spec_tk, spec_t),
+        out_specs=(P(), P(), P(), P()),
+        check_vma=False,
+    )
+    def run(log_pi_, log_A_, ll, xs):
+        idx = lax.axis_index(axis)
+        dtype = ll.dtype
+        A_tilde = jnp.exp(log_A_).astype(dtype)
+        lik, shifts = _normalize_loglik(ll)
+
+        # --- per-device tile operator: F0 @ (product of this tile's
+        # remaining C-1 transition matrices), chunked tree reduce ---
+        S = 1 << (min(block_size, max(C - 1, 1)).bit_length() - 1)
+        n_tr = C - 1
+        if n_tr > 0:
+            pad = _pad_count(n_tr, S)
+            nb = (n_tr + pad) // S
+            lik_tr = jnp.concatenate(
+                [lik[1:], jnp.ones((pad, K), dtype)], axis=0
+            ).reshape(nb, S, K)
+            val = jnp.concatenate(
+                [jnp.ones((n_tr,), bool), jnp.zeros((pad,), bool)], axis=0
+            ).reshape(nb, S)
+            Qb = _block_products(A_tilde, lik_tr, val, nb, S)
+            # chain the block products into ONE tile operator (log-depth)
+            Qr = Qb
+            while Qr.shape[0] > 1:
+                if Qr.shape[0] % 2:
+                    Qr = jnp.concatenate(
+                        [Qr, jnp.eye(K, dtype=dtype)[None]], axis=0
+                    )
+                Qr = jnp.einsum("nij,njk->nik", Qr[0::2], Qr[1::2],
+                                preferred_element_type=dtype)
+                Qr = Qr / jnp.max(Qr, axis=(1, 2), keepdims=True)
+            P_rest = Qr[0]
+        else:
+            P_rest = jnp.eye(K, dtype=dtype)
+        F0 = jnp.where(
+            idx == 0,
+            jnp.eye(K, dtype=dtype) * lik[0][None, :],
+            A_tilde * lik[0][None, :],
+        )
+        Q = F0 @ P_rest
+        Q = Q / jnp.max(Q)
+
+        # --- boundary recursions on the gathered tile operators ---
+        Qg = lax.all_gather(Q, axis)  # (D, K, K)
+        a = jnp.exp(log_pi_).astype(dtype)
+        a_last = []
+        for d in range(D):
+            a = a @ Qg[d]
+            a = a / jnp.sum(a)
+            a_last.append(a)
+        a_last = jnp.stack(a_last)  # filtered alpha at tile d's LAST step
+        b = jnp.ones((K,), dtype)
+        b_last = [b]
+        for d in range(D - 1, 0, -1):
+            b = Qg[d] @ b
+            b = b / jnp.sum(b)
+            b_last.append(b)
+        b_last = jnp.stack(b_last[::-1])  # beta at tile d's last step
+
+        # --- seeded per-tile streaming two-phase sweep ---
+        a_in = jnp.take(a_last, jnp.maximum(idx - 1, 0), axis=0)
+        log_pi_loc = jnp.where(
+            idx == 0,
+            log_pi_.astype(dtype),
+            jnp.log(jnp.maximum(a_in @ A_tilde, 1e-38)),
+        )
+        r = forward_backward_blocked_twophase(
+            log_pi_loc,
+            log_A_,
+            ll,
+            block_size=block_size,
+            stat_xs=xs if have_stats else None,
+            stat_fn=stat_fn,
+            stat_init=stat_init,
+            beta_end=jnp.take(b_last, idx, axis=0),
+        )
+
+        # boundary transition INTO this tile (devices d > 0): xi from the
+        # replicated a_in, our first likelihood row, and gamma-grade beta
+        # at our first step — which is r.init_stats / (a_loc-normalized
+        # alpha0), but the clean route is the same identity _chain_tile_fb
+        # uses: beta_0 ∝ gamma_0 / alpha_0 with alpha_0 ∝ exp(log_pi_loc)
+        # * lik[0]; xi_b normalizes, so scales drop.
+        al0 = jnp.exp(log_pi_loc) * lik[0]
+        al0 = al0 / jnp.max(al0)  # scale-free: xi_b normalizes below
+        beta0 = r.init_stats / jnp.maximum(al0, 1e-30)
+        beta0 = beta0 / jnp.max(beta0)
+        blb = lik[0] * beta0
+        xi_b = A_tilde * jnp.outer(a_in, blb)
+        xi_b = xi_b / jnp.maximum(jnp.sum(xi_b), 1e-38)
+        gate = jnp.where(idx == 0, 0.0, 1.0).astype(dtype)
+        trans = r.trans_stats + gate * xi_b
+
+        init_p = jnp.where(idx == 0, r.init_stats, jnp.zeros((K,), dtype))
+        log_z = lax.psum(r.log_z, axis)
+        trans = lax.psum(trans, axis)
+        init_stats = lax.psum(init_p, axis)
+        acc = (
+            jax.tree.map(partial(lax.psum, axis_name=axis), r.acc)
+            if have_stats
+            else jnp.zeros((0,), dtype)
+        )
+        return log_z, init_stats, trans, acc
+
+    log_z, init_stats, trans, acc = run(log_pi, log_A, log_lik, xs_arg)
+    return StreamStats(
+        log_z=log_z,
+        init_stats=init_stats,
+        trans_stats=trans,
+        acc=acc if have_stats else None,
+    )
+
+
 def time_sharded_forward_backward_batched(
     log_pi: jax.Array,
     log_A: jax.Array,

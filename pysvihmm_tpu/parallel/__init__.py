@@ -15,7 +15,9 @@ from .state_parallel import fit_large_k, make_ss_vb_step, shard_params_by_state
 from .time_parallel import (
     fit_long_chain,
     make_time_mesh,
+    make_ts_stream_vb_step,
     make_ts_vb_step,
     shard_chain,
     time_sharded_local_step,
+    time_sharded_stream_stats,
 )

@@ -64,6 +64,64 @@ def time_sharded_local_step(
     return stats, fb.gamma
 
 
+@f32_matmuls
+def time_sharded_stream_stats(
+    params: HMMParams,
+    emission,
+    obs: jax.Array,  # (T, D) float or (T,) int chain
+    mesh: Mesh,
+    axis: str = "time",
+    block_size: int = 256,
+) -> LocalStats:
+    """STREAMING exact local stats on one time-sharded chain.
+
+    The sharded counterpart of ``engines.base.long_chain_local_stats``:
+    gamma is never materialized — each device runs the two-phase streaming
+    sweep on its tile (messages/blocked.py) seeded by one tiny boundary
+    ``all_gather`` (messages/time_sharded.py::time_sharded_long_chain_stats).
+    One chip's HBM bounds the single-device path at T ~ 15M (3 T K
+    floats); this is the multi-chip route to the reference paper's
+    T≈250M regime: per-device memory is O(T K / D + T/D obs), so a
+    16-chip v5e slice holds T≈250M at K=64.
+    """
+    log_pi, log_A = expected_log_params(params)
+    ll = emission.expected_log_likelihood(params.emit, obs)
+    from ..messages.time_sharded import time_sharded_long_chain_stats
+
+    r = time_sharded_long_chain_stats(
+        log_pi, log_A, ll, mesh, axis=axis, block_size=block_size,
+        stat_xs=obs,
+        stat_fn=lambda g, y: emission_flat_stats(emission, params.emit, g, y),
+        stat_init=emission.zero_stats(params.emit),
+    )
+    return LocalStats(
+        init=r.init_stats, trans=r.trans_stats, emit=r.acc, log_z=r.log_z
+    )
+
+
+def make_ts_stream_vb_step(emission, mesh: Mesh, axis: str = "time",
+                           block_size: int = 256):
+    """Jitted coordinate-ascent VB step on one time-sharded chain through
+    the STREAMING stats path (no gamma materialization) — exact full-chain
+    VB at T beyond one chip's HBM."""
+
+    @jax.jit
+    @f32_matmuls
+    def step(params: HMMParams, prior: HMMParams, obs: jax.Array):
+        stats = time_sharded_stream_stats(
+            params, emission, obs, mesh, axis, block_size
+        )
+        elbo = elbo_from_stats(params, prior, emission, stats.log_z)
+        new_params = HMMParams(
+            init=dirichlet.posterior(prior.init, stats.init),
+            trans=dirichlet.posterior(prior.trans, stats.trans),
+            emit=emission.posterior(prior.emit, stats.emit),
+        )
+        return new_params, elbo
+
+    return step
+
+
 def make_ts_vb_step(emission, mesh: Mesh, axis: str = "time"):
     """Jitted coordinate-ascent VB step on one time-sharded chain."""
 

@@ -257,6 +257,39 @@ class TestTimeShardedEngine:
             np.array(ts_p.emit.mean), np.array(ref_p.emit.mean), atol=1e-3
         )
 
+    def test_streamed_vb_matches_single_device(self):
+        """Streaming sharded VB (no gamma materialization — the beyond-one-
+        chip-HBM tier) reproduces batch VB on the same chain."""
+        from pysvihmm_tpu.data.synthetic import gen_gaussian_dataset
+        from pysvihmm_tpu.distributions import GaussianNIW
+        from pysvihmm_tpu.engines import batch_vb
+        from pysvihmm_tpu.models.hmm import init_params, make_prior
+        from pysvihmm_tpu.parallel import make_time_mesh, make_ts_stream_vb_step
+        from pysvihmm_tpu.parallel.time_parallel import run_vb_scan, shard_chain
+
+        obs, _, _ = gen_gaussian_dataset(
+            jax.random.PRNGKey(3), K=3, D=2, num_seqs=1, T=400,
+            mean_scale=4.0, cov_scale=0.3,
+        )
+        prior = make_prior(3, GaussianNIW, obs_dim=2)
+        p0 = init_params(jax.random.PRNGKey(1), prior, GaussianNIW, obs)
+        ref_p, ref_elbos = batch_vb.fit(
+            p0, prior, obs, GaussianNIW, num_iters=12, method="scan"
+        )
+        mesh = make_time_mesh(4)
+        step = make_ts_stream_vb_step(GaussianNIW, mesh, block_size=16)
+        chain = shard_chain(obs[0], mesh)
+        ts_p, ts_elbos = run_vb_scan(step, p0, prior, chain, 12)
+        np.testing.assert_allclose(
+            np.array(ts_elbos), np.array(ref_elbos), rtol=2e-5
+        )
+        np.testing.assert_allclose(
+            np.array(ts_p.trans), np.array(ref_p.trans), rtol=1e-3
+        )
+        np.testing.assert_allclose(
+            np.array(ts_p.emit.mean), np.array(ref_p.emit.mean), atol=1e-3
+        )
+
     def test_multinomial_chain(self):
         from pysvihmm_tpu.data.synthetic import gen_multinomial_dataset
         from pysvihmm_tpu.distributions import MultinomialDirichlet
@@ -293,6 +326,84 @@ class TestBlockedFBEdge:
         b = forward_backward_blocked(log_pi, log_A, ll, block_size=128)
         assert np.isfinite(float(b.log_z))
         np.testing.assert_allclose(float(b.log_z), float(a.log_z), rtol=1e-12)
+
+
+class TestShardedStream:
+    """Time-sharded STREAMING long-chain stats (the multi-chip route to the
+    paper's T≈250M regime): per-device two-phase sweeps seeded by one tiny
+    boundary all_gather must reproduce the single-device scan's reduced
+    stats exactly."""
+
+    @pytest.mark.parametrize("n_dev,T", [(4, 64), (8, 128), (2, 30), (4, 100)])
+    def test_matches_scan(self, n_dev, T, enable_x64):
+        from pysvihmm_tpu.messages.time_sharded import time_sharded_long_chain_stats
+
+        mesh = make_mesh(n_dev, axis="time")
+        K = 5
+        log_pi, log_A, ll = problem(T, K)
+        xs = jnp.array(rng.normal(size=(T, 3)))
+        sf = lambda g, y: (g.T @ y, jnp.sum(g, axis=0))
+        si = (jnp.zeros((K, 3)), jnp.zeros((K,)))
+
+        a = messages.forward_backward(log_pi, log_A, ll)
+        ref_acc0 = a.gamma.T @ xs
+        ref_acc1 = jnp.sum(a.gamma, axis=0)
+
+        got = jax.jit(
+            lambda p, A, l, x: time_sharded_long_chain_stats(
+                p, A, l, mesh, block_size=8, stat_xs=x, stat_fn=sf, stat_init=si
+            )
+        )(log_pi, log_A, ll, xs)
+        np.testing.assert_allclose(float(got.log_z), float(a.log_z), rtol=1e-9)
+        np.testing.assert_allclose(
+            np.array(got.init_stats), np.array(a.init_stats), atol=1e-11
+        )
+        np.testing.assert_allclose(
+            np.array(got.trans_stats), np.array(a.trans_stats), atol=1e-9
+        )
+        np.testing.assert_allclose(np.array(got.acc[0]), np.array(ref_acc0), atol=1e-9)
+        np.testing.assert_allclose(np.array(got.acc[1]), np.array(ref_acc1), atol=1e-9)
+
+    def test_gaussian_estep_parity(self, enable_x64):
+        """Full emission E-step through the sharded streaming path equals
+        batch_local_step on the same chain."""
+        from pysvihmm_tpu.data.synthetic import gen_gaussian_dataset
+        from pysvihmm_tpu.distributions import GaussianNIW
+        from pysvihmm_tpu.engines.base import batch_local_step
+        from pysvihmm_tpu.messages.time_sharded import time_sharded_long_chain_stats
+        from pysvihmm_tpu.models.hmm import (
+            emission_flat_stats,
+            expected_log_params,
+            init_params,
+            make_prior,
+        )
+
+        K, D, T = 4, 2, 96
+        obs, _, _ = gen_gaussian_dataset(jax.random.PRNGKey(0), K, D, 1, T)
+        chain = obs[0].astype(jnp.float64)
+        prior = make_prior(K, GaussianNIW, obs_dim=D)
+        params = init_params(jax.random.PRNGKey(1), prior, GaussianNIW, chain)
+        ref, _ = batch_local_step(
+            params, GaussianNIW, chain[None], method="scan", need_gamma=False
+        )
+        mesh = make_mesh(4, axis="time")
+        log_pi, log_A = expected_log_params(params)
+        ll = GaussianNIW.expected_log_likelihood(params.emit, chain)
+        got = time_sharded_long_chain_stats(
+            log_pi, log_A, ll, mesh, block_size=8,
+            stat_xs=chain,
+            stat_fn=lambda g, y: emission_flat_stats(GaussianNIW, params.emit, g, y),
+            stat_init=GaussianNIW.zero_stats(params.emit),
+        )
+        np.testing.assert_allclose(float(got.log_z), float(ref.log_z), rtol=1e-9)
+        np.testing.assert_allclose(
+            np.array(got.init_stats), np.array(ref.init), atol=1e-10
+        )
+        np.testing.assert_allclose(
+            np.array(got.trans_stats), np.array(ref.trans), rtol=1e-7, atol=1e-9
+        )
+        for x, y in zip(jax.tree.leaves(got.acc), jax.tree.leaves(ref.emit)):
+            np.testing.assert_allclose(np.array(x), np.array(y), rtol=1e-7, atol=1e-9)
 
 
 class TestBlockedStream:
