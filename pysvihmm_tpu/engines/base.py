@@ -44,6 +44,7 @@ def batch_local_step(
     weights: jax.Array | None = None,
     need_gamma: bool = True,
     prepared=None,
+    exact: bool = False,
 ) -> tuple[LocalStats, jax.Array]:
     """Full local update over a batch of sequences.
 
@@ -58,6 +59,12 @@ def batch_local_step(
     measured-fastest path — BASELINE.md) and scan elsewhere; other methods
     batch via messages.e_step_batched (vmapped, each scan step a
     (B, K) @ (K, K) MXU matmul).
+
+    exact=True pins f32 alpha storage on the fused path even when
+    need_gamma=False: log_c derives from the STORED alpha, so the TPU
+    training default (bf16 alpha for gamma-free calls) would inject
+    ~sqrt(T)*1e-3 nats of rounding into log Z. Evaluation callers
+    (lower_bound) set it; training steps keep the measured-faster default.
     """
     method = messages.resolve_method(method, time_len=obs.shape[1])
     B, T = obs.shape[0], obs.shape[1]
@@ -66,7 +73,7 @@ def batch_local_step(
     if method == "pallas_fused":
         fb, emit_stats = _pallas_fused_estep(
             params, emission, obs, weights, need_gamma=need_gamma,
-            prepared=prepared,
+            prepared=prepared, exact=exact,
         )
         if need_gamma:
             fb = fb._replace(gamma=jnp.swapaxes(fb.gamma.reshape(T, B, K), 0, 1))
@@ -437,7 +444,7 @@ def prepare_fused_obs(params, emission, obs):
 
 
 def _pallas_fused_estep(params, emission, obs, weights=None, need_gamma=True,
-                        prepared=None, gamma_sel=None):
+                        prepared=None, gamma_sel=None, exact=False):
     """Fully-fused kernel E-step (likelihoods + FB + all stats in-kernel).
 
     Returns (FBResult with gamma packed (T, B/P, P*K) or None, emission
@@ -509,6 +516,7 @@ def _pallas_fused_estep(params, emission, obs, weights=None, need_gamma=True,
         precision=prec,
         ll_precision=ll_prec,
         stats_precision=stats_prec,
+        exact_alpha=exact,
     )
     if (
         os.environ.get("PYSVIHMM_PAD128_FEATS")
@@ -610,8 +618,13 @@ def elbo_from_stats(
 def lower_bound(
     params: HMMParams, prior: HMMParams, emission, obs: jax.Array, method: str = "auto"
 ) -> jax.Array:
-    """Exact full-data ELBO at the current global state (fresh local step)."""
-    stats, _ = batch_local_step(params, emission, obs, method, need_gamma=False)
+    """Exact full-data ELBO at the current global state (fresh local step).
+
+    exact=True keeps alpha storage f32 on TPU (the gamma-free training
+    default is bf16, whose rounding would leak into log Z — ADVICE r4)."""
+    stats, _ = batch_local_step(
+        params, emission, obs, method, need_gamma=False, exact=True
+    )
     return elbo_from_stats(params, prior, emission, stats.log_z)
 
 

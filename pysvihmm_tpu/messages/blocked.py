@@ -162,10 +162,15 @@ def _block_products(A_tilde, lik_tr, valid, n_blocks, S, chunk_blocks=64):
     eye = jnp.eye(K, dtype=dtype)
     prec = lax.Precision.DEFAULT
 
+    tiny = jnp.finfo(dtype).tiny
+
     def mm(x, y):
         r = jnp.einsum("nij,njk->nik", x, y, precision=prec,
                        preferred_element_type=dtype)
-        return r / jnp.max(r, axis=(1, 2), keepdims=True)
+        # tiny floor: a hard-zero likelihood row (-inf log_lik) can drive a
+        # block product to all-zeros; 0/0 here would turn a clean -inf
+        # log_z into NaN (ADVICE r4), while 0/tiny propagates zeros
+        return r / jnp.maximum(jnp.max(r, axis=(1, 2), keepdims=True), tiny)
 
     def chunk_products(lik_blk, val_blk):
         # lik_blk (CB, S, K), val_blk (CB, S) -> (CB, K, K)

@@ -275,6 +275,7 @@ def _combine_kernel(
     static_argnames=(
         "interpret", "tiles", "emit_gamma", "in_kernel_feats",
         "feats_packed", "precision", "ll_precision", "stats_precision",
+        "exact_alpha",
     ),
 )
 def pallas_estep_duplex(
@@ -291,6 +292,9 @@ def pallas_estep_duplex(
     precision: lax.Precision | str = lax.Precision.HIGHEST,
     ll_precision: lax.Precision | str = lax.Precision.HIGHEST,
     stats_precision: lax.Precision | str = lax.Precision.HIGHEST,
+    exact_alpha: bool = False,  # accepted for pallas_estep_fused contract
+    #   parity; the duplex kernels keep alpha VMEM-resident per tile and
+    #   never round it to a storage dtype, so every call is "exact" here
 ) -> tuple[FBResult, jax.Array]:
     """Duplex-overlapped batched E-step (module docstring).
 

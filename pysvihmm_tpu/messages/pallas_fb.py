@@ -843,7 +843,7 @@ def _log_c_from_scales(s_out, sh_out):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("interpret", "tiles", "emit_gamma", "in_kernel_feats", "feats_packed", "precision", "ll_precision", "stats_precision"),
+    static_argnames=("interpret", "tiles", "emit_gamma", "in_kernel_feats", "feats_packed", "precision", "ll_precision", "stats_precision", "exact_alpha"),
 )
 def pallas_estep_fused(
     log_pi: jax.Array,
@@ -865,6 +865,10 @@ def pallas_estep_fused(
     precision: lax.Precision | str = lax.Precision.HIGHEST,
     ll_precision: lax.Precision | str = lax.Precision.HIGHEST,
     stats_precision: lax.Precision | str = lax.Precision.HIGHEST,
+    exact_alpha: bool = False,  # force f32 alpha storage (evaluation calls:
+    #   log_c derives from the STORED alpha, so bf16 storage injects
+    #   ~sqrt(T)*1e-3 nats of rounding into log Z — fine for training
+    #   steps, not for a user-facing exact ELBO)
 ) -> tuple[FBResult, jax.Array]:
     """Fully-fused batched E-step: likelihoods + FB + ALL stats in-kernel.
 
@@ -938,7 +942,8 @@ def pallas_estep_fused(
     A_blk = jnp.kron(jnp.eye(P, dtype=jnp.float32), A_tilde)  # (PK, PK)
     W_blk = jnp.kron(jnp.eye(P, dtype=jnp.float32), W.astype(jnp.float32))  # (PF, PK)
     pi_blk = jnp.tile(pi_tilde, (P,))[None, :]  # (1, PK)
-    adt = _alpha_store_dtype(emit_gamma)  # trace-time policy/env read
+    # trace-time policy/env read; exact_alpha pins f32 (evaluation calls)
+    adt = jnp.float32 if exact_alpha else _alpha_store_dtype(emit_gamma)
 
     feats_p = feats if feats_packed else feats.reshape(T, R, PIN)
 

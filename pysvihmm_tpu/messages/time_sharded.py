@@ -65,6 +65,7 @@ def _tree_product(S: jax.Array) -> jax.Array:
     if p2 != n:
         eye = jnp.broadcast_to(jnp.eye(K, dtype=S.dtype), (p2 - n, K, K))
         S = jnp.concatenate([S, eye], axis=0)
+    tiny = jnp.finfo(S.dtype).tiny
     while S.shape[0] > 1:
         S = jnp.einsum(
             "nij,njk->nik",
@@ -72,7 +73,9 @@ def _tree_product(S: jax.Array) -> jax.Array:
             S[1::2],
             preferred_element_type=S.dtype,
         )
-        S = S / jnp.max(S, axis=(1, 2), keepdims=True)
+        # tiny floor keeps an underflowed-to-zero product propagating
+        # zeros (clean -inf log_z) instead of 0/0 NaNs (ADVICE r4)
+        S = S / jnp.maximum(jnp.max(S, axis=(1, 2), keepdims=True), tiny)
     return S[0]
 
 
@@ -283,7 +286,10 @@ def time_sharded_long_chain_stats(
                     )
                 Qr = jnp.einsum("nij,njk->nik", Qr[0::2], Qr[1::2],
                                 preferred_element_type=dtype)
-                Qr = Qr / jnp.max(Qr, axis=(1, 2), keepdims=True)
+                Qr = Qr / jnp.maximum(
+                    jnp.max(Qr, axis=(1, 2), keepdims=True),
+                    jnp.finfo(dtype).tiny,
+                )
             P_rest = Qr[0]
         else:
             P_rest = jnp.eye(K, dtype=dtype)
@@ -293,7 +299,7 @@ def time_sharded_long_chain_stats(
             A_tilde * lik[0][None, :],
         )
         Q = F0 @ P_rest
-        Q = Q / jnp.max(Q)
+        Q = Q / jnp.maximum(jnp.max(Q), jnp.finfo(dtype).tiny)
 
         # --- boundary recursions on the gathered tile operators ---
         Qg = lax.all_gather(Q, axis)  # (D, K, K)
@@ -319,6 +325,16 @@ def time_sharded_long_chain_stats(
             log_pi_.astype(dtype),
             jnp.log(jnp.maximum(a_in @ A_tilde, 1e-38)),
         )
+        # stat_init seeds ONLY device 0: r.acc is psum-reduced over the
+        # time axis below, so a replicated nonzero seed would be counted
+        # D times (ADVICE r4; latent while callers pass zero_stats)
+        stat_init_d = (
+            jax.tree.map(
+                lambda z: jnp.where(idx == 0, z, jnp.zeros_like(z)), stat_init
+            )
+            if stat_init is not None
+            else None
+        )
         r = forward_backward_blocked_twophase(
             log_pi_loc,
             log_A_,
@@ -326,7 +342,7 @@ def time_sharded_long_chain_stats(
             block_size=block_size,
             stat_xs=xs if have_stats else None,
             stat_fn=stat_fn,
-            stat_init=stat_init,
+            stat_init=stat_init_d,
             beta_end=jnp.take(b_last, idx, axis=0),
         )
 

@@ -364,6 +364,34 @@ class TestShardedStream:
         np.testing.assert_allclose(np.array(got.acc[0]), np.array(ref_acc0), atol=1e-9)
         np.testing.assert_allclose(np.array(got.acc[1]), np.array(ref_acc1), atol=1e-9)
 
+    def test_nonzero_stat_init_counted_once(self, enable_x64):
+        """A nonzero stat_init must enter the psum-reduced accumulator
+        exactly ONCE, not once per time-axis device (ADVICE r4: the seed
+        was replicated to every device's sweep and psum-counted D times)."""
+        from pysvihmm_tpu.messages.time_sharded import time_sharded_long_chain_stats
+
+        n_dev, T, K = 4, 64, 5
+        mesh = make_mesh(n_dev, axis="time")
+        log_pi, log_A, ll = problem(T, K)
+        xs = jnp.array(rng.normal(size=(T, 3)))
+        sf = lambda g, y: (g.T @ y, jnp.sum(g, axis=0))
+        si = (jnp.full((K, 3), 7.0), jnp.full((K,), 3.0))
+
+        a = messages.forward_backward(log_pi, log_A, ll)
+        got = jax.jit(
+            lambda p, A, l, x: time_sharded_long_chain_stats(
+                p, A, l, mesh, block_size=8, stat_xs=x, stat_fn=sf, stat_init=si
+            )
+        )(log_pi, log_A, ll, xs)
+        np.testing.assert_allclose(
+            np.array(got.acc[0]), np.array(a.gamma.T @ xs + si[0]), atol=1e-9
+        )
+        np.testing.assert_allclose(
+            np.array(got.acc[1]),
+            np.array(jnp.sum(a.gamma, axis=0) + si[1]),
+            atol=1e-9,
+        )
+
     def test_gaussian_estep_parity(self, enable_x64):
         """Full emission E-step through the sharded streaming path equals
         batch_local_step on the same chain."""
