@@ -121,11 +121,13 @@ def long_chain_local_stats(
     ~3.5 ms/op and turns a 0.1 s jitted T=100k E-step into ~9.5 s
     (bench_results/r3_tpu.jsonl).
 
-    impl: "twophase" (default — tree-reduced block products + seeded
-    vmapped sweeps; 3.6x the assoc tier on chip, 3.9M chain steps/s at
-    T=200k/K=64, r4_tpu.jsonl) or "assoc" (the associative-scan tier;
-    also reachable via PYSVIHMM_STREAM_IMPL=assoc). Both are exact and
-    machine-precision-equal in f64.
+    impl: "fused" (default — the likelihood-fused two-phase tier,
+    messages/stream_fused.py: likelihoods computed per chunk from the raw
+    observations, so the (T, K) array never exists in HBM and one chip
+    reaches T≈100M Gaussian / 250M multinomial), "twophase" (the r4 tier:
+    (T, K) log-lik materialized up front; also via
+    PYSVIHMM_STREAM_IMPL=twophase), or "assoc" (the associative-scan
+    tier). All are exact and f64-parity-tested against each other.
     """
     from ..messages.blocked import (
         forward_backward_blocked_stream,
@@ -133,26 +135,91 @@ def long_chain_local_stats(
     )
 
     if impl is None:
-        impl = os.environ.get("PYSVIHMM_STREAM_IMPL", "twophase")
-    fb_stream = {
-        "twophase": forward_backward_blocked_twophase,
-        "assoc": forward_backward_blocked_stream,
-    }[impl]
+        impl = os.environ.get("PYSVIHMM_STREAM_IMPL", "fused")
 
+    stat_fn = lambda g, y: emission_flat_stats(emission, params.emit, g, y)
     log_pi, log_A = expected_log_params(params)
-    ll = emission.expected_log_likelihood(params.emit, chain)  # (T, K)
-    r = fb_stream(
-        log_pi,
-        log_A,
-        ll,
-        block_size=block_size,
-        stat_xs=chain,
-        stat_fn=lambda g, y: emission_flat_stats(emission, params.emit, g, y),
-        stat_init=emission.zero_stats(params.emit),
-    )
+    if impl == "fused":
+        from ..messages.stream_fused import forward_backward_fused_twophase
+
+        r = forward_backward_fused_twophase(
+            log_pi,
+            log_A,
+            chain,
+            _long_chain_ell_fn(params, emission),
+            block_size=block_size,
+            stat_fn=stat_fn,
+            stat_init=emission.zero_stats(params.emit),
+        )
+    else:
+        fb_stream = {
+            "twophase": forward_backward_blocked_twophase,
+            "assoc": forward_backward_blocked_stream,
+        }[impl]
+        ll = emission.expected_log_likelihood(params.emit, chain)  # (T, K)
+        r = fb_stream(
+            log_pi,
+            log_A,
+            ll,
+            block_size=block_size,
+            stat_xs=chain,
+            stat_fn=stat_fn,
+            stat_init=emission.zero_stats(params.emit),
+        )
     return LocalStats(
         init=r.init_stats, trans=r.trans_stats, emit=r.acc, log_z=r.log_z
     )
+
+
+def _long_chain_ell_fn(params, emission):
+    """Per-chunk expected-log-likelihood closure for the fused streaming
+    tiers: the Gaussian families get their feature-matmul form (one
+    feats @ W per chunk at the bulk 3-pass "high" tier — the production
+    likelihood precision, utils/precision.py); families without feature
+    form fall back to expected_log_likelihood directly."""
+    if hasattr(emission, "ell_features"):
+        W = emission.ell_feature_matrix(params.emit)
+
+        def ell_fn(rows):
+            with bulk_precision():
+                return emission.ell_features(rows) @ W
+
+        return ell_fn
+    return lambda rows: emission.expected_log_likelihood(params.emit, rows)
+
+
+@f32_matmuls
+def long_chain_decode(
+    params: HMMParams,
+    emission,
+    chain: jax.Array,
+    block_size: int = 1024,
+    chunks: int = 8,
+) -> jax.Array:
+    """Posterior-marginal decode of ONE long chain, streaming: (T,) int32.
+
+    Same argmax_k gamma_tk rule as :func:`decode` (the reference's decode
+    — SURVEY.md:140) but gamma is never materialized: the fused streaming
+    backward sweep emits each step's argmax directly
+    (messages/stream_fused.py emit_argmax), so the decode reaches the
+    same T≈100M+ single-chip scale as the streaming E-step — the
+    reference paper's chromatin segmentation deliverable at T≈250M
+    (SURVEY.md:284). Call under jit (static: emission, block_size,
+    chunks).
+    """
+    from ..messages.stream_fused import forward_backward_fused_twophase
+
+    log_pi, log_A = expected_log_params(params)
+    r = forward_backward_fused_twophase(
+        log_pi,
+        log_A,
+        chain,
+        _long_chain_ell_fn(params, emission),
+        block_size=block_size,
+        chunks=chunks,
+        emit_argmax=True,
+    )
+    return r.z
 
 
 def _pallas_packed_estep(params, emission, obs, weights=None):

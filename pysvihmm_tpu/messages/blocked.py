@@ -24,12 +24,14 @@ from .assoc_fb import _combine
 
 
 class StreamStats(NamedTuple):
-    """Reduced outputs of :func:`forward_backward_blocked_stream`."""
+    """Reduced outputs of the streaming long-chain FB tiers."""
 
     log_z: jax.Array  # ()
     init_stats: jax.Array  # (K,) = gamma_0
     trans_stats: jax.Array  # (K, K) summed pairwise marginals
     acc: object  # stat_fn accumulator pytree (None if no stat_fn)
+    z: object = None  # (T,) int32 argmax-gamma decode when the tier was
+    #   asked to emit it (stream_fused.py emit_argmax); None otherwise
 
 
 def _pad_count(n_trans: int, S: int) -> int:

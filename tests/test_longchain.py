@@ -465,7 +465,7 @@ class TestBlockedStream:
                 np.array(a), np.array(b), rtol=50 * tol, atol=50 * tol
             )
 
-    @pytest.mark.parametrize("impl", ["twophase", "assoc"])
+    @pytest.mark.parametrize("impl", ["twophase", "assoc", "fused"])
     @pytest.mark.parametrize("T,S", [(210, 64), (129, 64), (65, 64), (2, 8), (40, 8)])
     def test_gaussian_matches_scan(self, T, S, impl, enable_x64):
         from pysvihmm_tpu.data.synthetic import gen_gaussian_dataset
@@ -476,7 +476,7 @@ class TestBlockedStream:
         chain = obs[0].astype(jnp.float64)
         self._check(GaussianNIW, chain, K, S, tol=1e-9, impl=impl, obs_dim=D)
 
-    @pytest.mark.parametrize("impl", ["twophase", "assoc"])
+    @pytest.mark.parametrize("impl", ["twophase", "assoc", "fused"])
     def test_multinomial_matches_scan(self, impl, enable_x64):
         from pysvihmm_tpu.data.synthetic import gen_multinomial_dataset
         from pysvihmm_tpu.distributions import MultinomialDirichlet
@@ -494,6 +494,101 @@ class TestBlockedStream:
         K, D, T = 8, 4, 20_000
         obs, _, _ = gen_gaussian_dataset(jax.random.PRNGKey(2), K, D, 1, T)
         self._check(GaussianNIW, obs[0], K, 512, tol=2e-4, obs_dim=D)
+
+    def test_fused_remat_equals_store(self, enable_x64):
+        """The rematerializing backward pass (alpha checkpoints, per-chunk
+        recompute) must be bit-for-tolerance the stored-alpha path."""
+        from pysvihmm_tpu.messages.stream_fused import (
+            forward_backward_fused_twophase,
+        )
+
+        T, K, D = 333, 5, 3
+        log_pi, log_A, _ = problem(T, K)
+        W = jnp.array(rng.normal(size=(D, K)))
+        obs = jnp.array(rng.normal(size=(T, D)))
+        ell_fn = lambda y: y @ W
+        sf = lambda g, y: (g.T @ y, jnp.sum(g, axis=0))
+        si = (jnp.zeros((K, D)), jnp.zeros((K,)))
+
+        runs = {}
+        for store in (True, False):
+            runs[store] = jax.jit(
+                lambda p, A, o, store=store: forward_backward_fused_twophase(
+                    p, A, o, ell_fn, block_size=32, chunks=4,
+                    store_alphas=store, stat_fn=sf, stat_init=si,
+                    emit_argmax=True,
+                )
+            )(log_pi, log_A, obs)
+        a, b = runs[True], runs[False]
+        np.testing.assert_allclose(float(a.log_z), float(b.log_z), rtol=1e-12)
+        np.testing.assert_allclose(
+            np.array(a.trans_stats), np.array(b.trans_stats), rtol=1e-10
+        )
+        for x, y in zip(jax.tree.leaves(a.acc), jax.tree.leaves(b.acc)):
+            np.testing.assert_allclose(np.array(x), np.array(y), rtol=1e-10)
+        assert (np.array(a.z) == np.array(b.z)).all()
+
+    @pytest.mark.parametrize("store", [True, False])
+    def test_streaming_decode_matches_argmax_gamma(self, store, enable_x64):
+        """long_chain_decode == argmax-gamma of the materializing E-step
+        (the reference's decode rule) at small T, both remat modes."""
+        from pysvihmm_tpu.data.synthetic import gen_gaussian_dataset
+        from pysvihmm_tpu.distributions import GaussianNIW
+        from pysvihmm_tpu.engines.base import batch_local_step, long_chain_decode
+        from pysvihmm_tpu.models.hmm import init_params, make_prior
+
+        K, D, T = 5, 3, 451
+        obs, _, _ = gen_gaussian_dataset(jax.random.PRNGKey(7), K, D, 1, T)
+        chain = obs[0].astype(jnp.float64)
+        prior = make_prior(K, GaussianNIW, obs_dim=D)
+        params = init_params(jax.random.PRNGKey(8), prior, GaussianNIW, chain)
+
+        _, gamma = batch_local_step(params, GaussianNIW, chain[None], method="scan")
+        z_ref = np.argmax(np.array(gamma[0]), axis=-1)
+        from pysvihmm_tpu.engines.base import _long_chain_ell_fn
+        from pysvihmm_tpu.messages import stream_fused
+        from pysvihmm_tpu.models.hmm import expected_log_params
+
+        def run(p, c):
+            log_pi, log_A = expected_log_params(p)
+            return stream_fused.forward_backward_fused_twophase(
+                log_pi, log_A, c, _long_chain_ell_fn(p, GaussianNIW),
+                block_size=64, chunks=4, store_alphas=store, emit_argmax=True,
+            ).z
+
+        z = jax.jit(run)(params, chain)
+        assert z.shape == (T,) and z.dtype == jnp.int32
+        assert (np.array(z) == z_ref).all()
+
+        z2 = jax.jit(
+            lambda p, c: long_chain_decode(p, GaussianNIW, c, block_size=64)
+        )(params, chain)
+        assert (np.array(z2) == z_ref).all()
+
+    def test_streaming_decode_multinomial(self, enable_x64):
+        """Int-token chains (the chromatin-like regime) decode correctly."""
+        from pysvihmm_tpu.data.synthetic import gen_multinomial_dataset
+        from pysvihmm_tpu.distributions import MultinomialDirichlet
+        from pysvihmm_tpu.engines.base import batch_local_step, long_chain_decode
+        from pysvihmm_tpu.models.hmm import init_params, make_prior
+
+        K, V, T = 4, 11, 261
+        obs, _, _ = gen_multinomial_dataset(jax.random.PRNGKey(9), K, V, 1, T)
+        chain = obs[0]
+        prior = make_prior(K, MultinomialDirichlet, num_symbols=V)
+        params = init_params(
+            jax.random.PRNGKey(10), prior, MultinomialDirichlet, chain
+        )
+        _, gamma = batch_local_step(
+            params, MultinomialDirichlet, chain[None], method="scan"
+        )
+        z_ref = np.argmax(np.array(gamma[0]), axis=-1)
+        z = jax.jit(
+            lambda p, c: long_chain_decode(
+                p, MultinomialDirichlet, c, block_size=32
+            )
+        )(params, chain)
+        assert (np.array(z) == z_ref).all()
 
     def test_vb_step_matches_batch_vb(self, enable_x64):
         """One long-chain VB step == one batch-VB step on the same chain."""
