@@ -77,6 +77,66 @@ def sample_states(key: jax.Array, params: TrueParams, T: int) -> jax.Array:
     return jnp.concatenate([z0[None], zs])
 
 
+def sample_states_fast(pi, A, T: int, rng, block: int = 4096):
+    """HOST-side state-path sampler for T = tens-to-hundreds of millions.
+
+    The naive per-step Python loop runs ~250k steps/s (r4's long-chain
+    runner: ~40 s at T=10M — unusable at the reference paper's T≈250M
+    chromatin scale, SURVEY.md:284). This vectorizes the inherently
+    sequential rollout the same way the streaming FB tiers do: each step's
+    inverse-CDF draw defines a random MAP state→state; per-block maps are
+    composed vectorized over all blocks at once (two passes of (n_blocks,)
+    gathers per in-block step), then a tiny boundary recursion threads the
+    true entry state of every block. ~T·K bytes of scratch (int8 maps);
+    ~50× the naive loop.
+
+    pi (K,), A (K, K) numpy; rng a numpy Generator. Returns (T,) int32.
+    """
+    import numpy as np
+
+    K = len(pi)
+    pi = np.asarray(pi, np.float64)
+    A_cum = np.cumsum(np.asarray(A, np.float64), axis=1)
+    z0 = int(rng.choice(K, p=pi / pi.sum()))
+    if T == 1:
+        return np.array([z0], np.int32)
+    n = T - 1
+    nB = -(-n // block)
+    u = rng.random(nB * block)  # padded tail draws are discarded below
+    # per-step maps M[s, b, k] = next state from k under block b's step-s
+    # draw; computed per ENTRY STATE as one searchsorted over all steps
+    M = np.empty((K, nB * block), np.int8)
+    for k in range(K):
+        M[k] = np.searchsorted(A_cum[k], u, side="right").astype(np.int8)
+    M = np.ascontiguousarray(
+        M.reshape(K, nB, block).transpose(2, 1, 0)
+    )  # (block, nB, K)
+
+    # compose each block's maps: V[b, k] = block-exit state given entry k
+    V = np.broadcast_to(np.arange(K, dtype=np.int8), (nB, K)).copy()
+    for s in range(block):
+        V = np.take_along_axis(M[s], V.astype(np.intp), axis=1)
+
+    # boundary recursion: entry state of every block
+    z_bound = np.empty((nB,), np.int32)
+    z_bound[0] = z0
+    for b in range(nB - 1):
+        z_bound[b + 1] = V[b, z_bound[b]]
+
+    # replay within all blocks at once from the true entry states
+    zs = np.empty((block, nB), np.int8)
+    cur = z_bound.astype(np.intp)
+    rows = np.arange(nB)
+    for s in range(block):
+        cur = M[s][rows, cur]
+        zs[s] = cur
+        cur = cur.astype(np.intp)
+    z = np.empty((T,), np.int32)
+    z[0] = z0
+    z[1:] = zs.T.reshape(-1)[:n]
+    return z
+
+
 def gen_data(
     key: jax.Array,
     params: TrueParams,

@@ -34,3 +34,24 @@ def hamming_error(est, true, K: int) -> float:
     true = np.asarray(true).reshape(-1)
     perm = best_permutation(est, true, K)
     return float(np.mean(perm[est] != true))
+
+
+def hamming_error_long(est, true, K: int) -> float:
+    """Matched Hamming error for DEVICE-resident decodes at T = 10M+.
+
+    :func:`hamming_error` pulls both label arrays to host and walks them
+    K+1 times — fine at test scale, not against a streamed 100M-step
+    decode. Here the K x K confusion matrix is ONE device bincount over
+    est*K+true (the only full-T pass); the O(K^3) assignment and the
+    mismatch count then run on the K x K matrix alone. est/true: (T,)
+    int device or numpy arrays.
+    """
+    import jax.numpy as jnp
+
+    est = jnp.asarray(est).reshape(-1).astype(jnp.int32)
+    true = jnp.asarray(true).reshape(-1).astype(jnp.int32)
+    conf = np.asarray(
+        jnp.bincount(est * K + true, length=K * K), np.int64
+    ).reshape(K, K)
+    rows, cols = linear_sum_assignment(-conf)
+    return float(1.0 - conf[rows, cols].sum() / conf.sum())

@@ -64,7 +64,7 @@ def _lik_factory(ell_fn, dtype):
 
 
 def _block_products_fused(
-    A_tilde, obs_blocks, valid, n_blocks, S, lik_fn, chunk_blocks=64
+    A_tilde, obs_blocks, valid, n_blocks, S, lik_fn, chunk_blocks=None
 ):
     """Per-block transfer products Q_b with in-chunk likelihoods.
 
@@ -87,6 +87,12 @@ def _block_products_fused(
                        preferred_element_type=dtype)
         return r / jnp.maximum(jnp.max(r, axis=(1, 2), keepdims=True), tiny)
 
+    if chunk_blocks is None:
+        # cap the leaf level's (CB*S/2, K, K) materialization at ~128 MB
+        # f32 regardless of block size (large-S configs would otherwise
+        # stage multi-GB level-0 products per chunk)
+        K2 = K * K * jnp.dtype(dtype).itemsize
+        chunk_blocks = max(1, (128 << 20) // max(S // 2, 1) // K2)
     CB = min(chunk_blocks, n_blocks)
     while n_blocks % CB:
         CB -= 1

@@ -495,6 +495,38 @@ class TestBlockedStream:
         obs, _, _ = gen_gaussian_dataset(jax.random.PRNGKey(2), K, D, 1, T)
         self._check(GaussianNIW, obs[0], K, 512, tol=2e-4, obs_dim=D)
 
+    def test_fast_state_sampler(self):
+        """Vectorized host sampler (scripts-scale generation): empirical
+        transitions match A; shapes/edge cases; matched-Hamming helper
+        agrees with the reference implementation."""
+        from pysvihmm_tpu.data.synthetic import (
+            make_gaussian_params,
+            sample_states_fast,
+        )
+        from pysvihmm_tpu.eval.metrics import hamming_error, hamming_error_long
+
+        tp = make_gaussian_params(jax.random.PRNGKey(0), 4, 2, self_prob=0.8)
+        A = np.asarray(tp.A)
+        z = sample_states_fast(
+            np.asarray(tp.pi), A, 400_000, np.random.default_rng(0), block=512
+        )
+        C = np.zeros((4, 4))
+        np.add.at(C, (z[:-1], z[1:]), 1)
+        assert np.abs(C / C.sum(1, keepdims=True) - A).max() < 0.01
+        for T in (1, 2, 5, 513):
+            zz = sample_states_fast(
+                np.asarray(tp.pi), A, T, np.random.default_rng(1), block=8
+            )
+            assert zz.shape == (T,) and zz.min() >= 0 and zz.max() < 4
+
+        est = np.random.default_rng(2).integers(0, 4, size=5000)
+        perm = np.array([2, 0, 3, 1])
+        true = perm[est].copy()
+        true[:500] = (true[:500] + 1) % 4  # inject 10% mismatch
+        ref = hamming_error(est, true, 4)
+        got = hamming_error_long(jnp.asarray(est), jnp.asarray(true), 4)
+        np.testing.assert_allclose(got, ref, atol=1e-12)
+
     def test_fused_remat_equals_store(self, enable_x64):
         """The rematerializing backward pass (alpha checkpoints, per-chunk
         recompute) must be bit-for-tolerance the stored-alpha path."""
