@@ -11,9 +11,13 @@ elastic-step state) survives preemption. This driver wraps any
     steps — UNCONDITIONAL, logger or not — that aborts with a clear error
     instead of silently diverging).
 
-Single-host API; on multi-host deployments each process calls this with its
-own checkpoint dir (state is replicated, so host 0's checkpoint suffices —
-pass checkpoint_dir=None on other hosts).
+Multi-host deployments (`jax.distributed`) pass the SAME shared-filesystem
+checkpoint_dir on EVERY process: writes are gated on process 0 (state is
+replicated, one copy suffices), but every process RESTORES from it — a
+host that skipped the restore would re-enter the collectives at step 0
+while host 0 resumes mid-run, deadlocking the psums. Restore happens
+before any collective, so ordering vs `jax.distributed.initialize` is
+trivially safe (tests/test_multihost.py::test_two_process_trainer_resume).
 """
 
 from __future__ import annotations
@@ -25,6 +29,14 @@ import numpy as np
 
 from ..utils import checkpoint
 from ..utils.logging import MetricsLogger
+
+
+def _save(checkpoint_dir: str, step: int, state: Any) -> None:
+    """Checkpoint write, process-0-gated: replicated state needs one copy,
+    and N processes racing the same atomic rename on a shared filesystem
+    need not be tested."""
+    if jax.process_index() == 0:
+        checkpoint.save_step(checkpoint_dir, step, state)
 
 
 def train(
@@ -71,9 +83,9 @@ def train(
             if emit:
                 log.write(step=done, **host_metrics)
         if checkpoint_dir and done % checkpoint_every == 0:
-            checkpoint.save_step(checkpoint_dir, done, state)
+            _save(checkpoint_dir, done, state)
     if checkpoint_dir and num_steps > start:
-        checkpoint.save_step(checkpoint_dir, num_steps, state)
+        _save(checkpoint_dir, num_steps, state)
     return state
 
 
@@ -128,7 +140,7 @@ def train_streamed(
             if emit:
                 log.write(step=done, **host_metrics)
         if checkpoint_dir and done % checkpoint_every == 0:
-            checkpoint.save_step(checkpoint_dir, done, state)
+            _save(checkpoint_dir, done, state)
     if checkpoint_dir and num_steps > start:
-        checkpoint.save_step(checkpoint_dir, num_steps, state)
+        _save(checkpoint_dir, num_steps, state)
     return state

@@ -382,6 +382,195 @@ def time_sharded_long_chain_stats(
     )
 
 
+def time_sharded_fused_stats(
+    log_pi: jax.Array,
+    log_A: jax.Array,
+    obs: jax.Array,  # (T, ...) raw observations — gets time-sharded inside
+    ell_fn,  # rows (..., N, obs-dims) -> expected log-lik (..., N, K)
+    mesh: Mesh,
+    axis: str = "time",
+    block_size: int = 1024,
+    chunks: int = 8,
+    store_alphas: bool | None = None,
+    stat_xs: jax.Array | None = None,  # defaults to ``obs``
+    stat_fn=None,
+    stat_init=None,
+    emit_argmax: bool = False,
+):
+    """Likelihood-FUSED sharded streaming E-step — the multi-chip T≈250M+
+    route with the single-chip fused tier's memory profile per device.
+
+    :func:`time_sharded_long_chain_stats` still materializes each tile's
+    (T/D, K) likelihood; here every phase computes likelihoods per chunk
+    from the raw observation tile (messages/stream_fused.py), so
+    per-device HBM is O(T/D · obs-dims) — one v5e chip holds a 100M-step
+    Gaussian tile, and a 4-chip slice the reference paper's full 250M
+    chromatin chain WITH headroom (SURVEY.md:284). ``emit_argmax``
+    additionally returns the full argmax-gamma decode, time-sharded
+    (StreamStats.z (T,) int32) — the chromatin segmentation deliverable,
+    distributed.
+
+    Same three-phase schedule and exactness contract as the non-fused
+    sharded tier (seeded per-tile sweeps reproduce the global scaling
+    constants; boundary xi needs no extra communication); parity-tested
+    against the single-device scan in tests/test_longchain.py.
+    """
+    from .blocked import StreamStats
+    from .stream_fused import (
+        _block_products_fused,
+        _lik_factory,
+        forward_backward_fused_twophase,
+    )
+    from .blocked import _pad_count
+
+    T = obs.shape[0]
+    tail = obs.shape[1:]
+    D = mesh.shape[axis]
+    if T % D != 0:
+        raise ValueError(f"T={T} must be divisible by time-axis size {D}")
+    C = T // D
+    probe = jax.eval_shape(
+        ell_fn, jax.ShapeDtypeStruct((1,) + tail, obs.dtype)
+    )
+    K = probe.shape[-1]
+    dtype = probe.dtype
+    have_stats = stat_fn is not None
+    if stat_xs is None:
+        stat_xs = obs
+    xs_arg = stat_xs if have_stats else jnp.zeros((T, 0), dtype)
+
+    spec_obs = P(axis) if obs.ndim == 1 else P(axis, *(None,) * (obs.ndim - 1))
+    spec_xs = P(axis) if xs_arg.ndim == 1 else P(axis, *(None,) * (xs_arg.ndim - 1))
+    out_specs = (P(), P(), P(), P(), P(axis))
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), spec_obs, spec_xs),
+        out_specs=out_specs,
+        check_vma=False,
+    )
+    def run(log_pi_, log_A_, o, xs):
+        idx = lax.axis_index(axis)
+        A_tilde = jnp.exp(log_A_).astype(dtype)
+        lik_fn = _lik_factory(ell_fn, dtype)
+        lik0, _ = lik_fn(o[:1])  # this tile's first likelihood row
+
+        # --- per-device tile operator with in-chunk likelihoods ---
+        S = 1 << (min(block_size, max(C - 1, 1)).bit_length() - 1)
+        n_tr = C - 1
+        if n_tr > 0:
+            pad = _pad_count(n_tr, S)
+            nb = (n_tr + pad) // S
+            o_tr = jnp.concatenate(
+                [o[1:], jnp.zeros((pad,) + tail, o.dtype)], axis=0
+            ).reshape((nb, S) + tail)
+            val = jnp.concatenate(
+                [jnp.ones((n_tr,), bool), jnp.zeros((pad,), bool)], axis=0
+            ).reshape(nb, S)
+            Qb = _block_products_fused(A_tilde, o_tr, val, nb, S, lik_fn)
+            Qr = Qb
+            while Qr.shape[0] > 1:
+                if Qr.shape[0] % 2:
+                    Qr = jnp.concatenate(
+                        [Qr, jnp.eye(K, dtype=dtype)[None]], axis=0
+                    )
+                Qr = jnp.einsum("nij,njk->nik", Qr[0::2], Qr[1::2],
+                                preferred_element_type=dtype)
+                Qr = Qr / jnp.maximum(
+                    jnp.max(Qr, axis=(1, 2), keepdims=True),
+                    jnp.finfo(dtype).tiny,
+                )
+            P_rest = Qr[0]
+        else:
+            P_rest = jnp.eye(K, dtype=dtype)
+        F0 = jnp.where(
+            idx == 0,
+            jnp.eye(K, dtype=dtype) * lik0[0][None, :],
+            A_tilde * lik0[0][None, :],
+        )
+        Q = F0 @ P_rest
+        Q = Q / jnp.maximum(jnp.max(Q), jnp.finfo(dtype).tiny)
+
+        # --- boundary recursions on the gathered tile operators ---
+        Qg = lax.all_gather(Q, axis)  # (D, K, K)
+        a = jnp.exp(log_pi_).astype(dtype)
+        a_last = []
+        for d in range(D):
+            a = a @ Qg[d]
+            a = a / jnp.sum(a)
+            a_last.append(a)
+        a_last = jnp.stack(a_last)
+        b = jnp.ones((K,), dtype)
+        b_last = [b]
+        for d in range(D - 1, 0, -1):
+            b = Qg[d] @ b
+            b = b / jnp.sum(b)
+            b_last.append(b)
+        b_last = jnp.stack(b_last[::-1])
+
+        # --- seeded per-tile FUSED streaming sweep ---
+        a_in = jnp.take(a_last, jnp.maximum(idx - 1, 0), axis=0)
+        log_pi_loc = jnp.where(
+            idx == 0,
+            log_pi_.astype(dtype),
+            jnp.log(jnp.maximum(a_in @ A_tilde, 1e-38)),
+        )
+        stat_init_d = (
+            jax.tree.map(
+                lambda z: jnp.where(idx == 0, z, jnp.zeros_like(z)), stat_init
+            )
+            if stat_init is not None
+            else None
+        )
+        r = forward_backward_fused_twophase(
+            log_pi_loc,
+            log_A_,
+            o,
+            ell_fn,
+            block_size=block_size,
+            chunks=chunks,
+            store_alphas=store_alphas,
+            stat_xs=xs if have_stats else None,
+            stat_fn=stat_fn,
+            stat_init=stat_init_d,
+            beta_end=jnp.take(b_last, idx, axis=0),
+            emit_argmax=emit_argmax,
+        )
+
+        # boundary xi INTO this tile — same identity as the non-fused tier
+        al0 = jnp.exp(log_pi_loc) * lik0[0]
+        al0 = al0 / jnp.max(al0)
+        beta0 = r.init_stats / jnp.maximum(al0, 1e-30)
+        beta0 = beta0 / jnp.max(beta0)
+        blb = lik0[0] * beta0
+        xi_b = A_tilde * jnp.outer(a_in, blb)
+        xi_b = xi_b / jnp.maximum(jnp.sum(xi_b), 1e-38)
+        gate = jnp.where(idx == 0, 0.0, 1.0).astype(dtype)
+        trans = r.trans_stats + gate * xi_b
+
+        init_p = jnp.where(idx == 0, r.init_stats, jnp.zeros((K,), dtype))
+        log_z = lax.psum(r.log_z, axis)
+        trans = lax.psum(trans, axis)
+        init_stats = lax.psum(init_p, axis)
+        acc = (
+            jax.tree.map(partial(lax.psum, axis_name=axis), r.acc)
+            if have_stats
+            else jnp.zeros((0,), dtype)
+        )
+        z = r.z if emit_argmax else jnp.zeros((C,), jnp.int32)
+        return log_z, init_stats, trans, acc, z
+
+    log_z, init_stats, trans, acc, z = run(log_pi, log_A, obs, xs_arg)
+    return StreamStats(
+        log_z=log_z,
+        init_stats=init_stats,
+        trans_stats=trans,
+        acc=acc if have_stats else None,
+        z=z if emit_argmax else None,
+    )
+
+
 def time_sharded_forward_backward_batched(
     log_pi: jax.Array,
     log_A: jax.Array,

@@ -18,6 +18,7 @@ from .time_parallel import (
     make_ts_stream_vb_step,
     make_ts_vb_step,
     shard_chain,
+    time_sharded_decode,
     time_sharded_local_step,
     time_sharded_stream_stats,
 )

@@ -72,35 +72,75 @@ def time_sharded_stream_stats(
     mesh: Mesh,
     axis: str = "time",
     block_size: int = 256,
+    impl: str = "fused",
 ) -> LocalStats:
     """STREAMING exact local stats on one time-sharded chain.
 
     The sharded counterpart of ``engines.base.long_chain_local_stats``:
-    gamma is never materialized — each device runs the two-phase streaming
-    sweep on its tile (messages/blocked.py) seeded by one tiny boundary
-    ``all_gather`` (messages/time_sharded.py::time_sharded_long_chain_stats).
-    One chip's HBM bounds the single-device path at T ~ 15M (3 T K
-    floats); this is the multi-chip route to the reference paper's
-    T≈250M regime: per-device memory is O(T K / D + T/D obs), so a
-    16-chip v5e slice holds T≈250M at K=64.
+    gamma is never materialized — each device runs a streaming two-phase
+    sweep on its tile seeded by one tiny boundary ``all_gather``
+    (messages/time_sharded.py). impl="fused" (default) also computes
+    likelihoods per chunk from the raw observation tile
+    (messages/stream_fused.py), so per-device HBM is O(T/D · obs-dims):
+    one v5e chip holds a 100M-step Gaussian tile, and a 4-chip slice the
+    reference paper's full T≈250M chromatin chain (SURVEY.md:284).
+    impl="twophase" keeps the r4 tier (per-tile (T/D, K) likelihood
+    materialized; single-chip tile bound T/D ~ 15M at K=64).
     """
     log_pi, log_A = expected_log_params(params)
-    ll = emission.expected_log_likelihood(params.emit, obs)
-    from ..messages.time_sharded import time_sharded_long_chain_stats
+    stat_fn = lambda g, y: emission_flat_stats(emission, params.emit, g, y)
+    if impl == "fused":
+        from ..engines.base import _long_chain_ell_fn
+        from ..messages.time_sharded import time_sharded_fused_stats
 
-    r = time_sharded_long_chain_stats(
-        log_pi, log_A, ll, mesh, axis=axis, block_size=block_size,
-        stat_xs=obs,
-        stat_fn=lambda g, y: emission_flat_stats(emission, params.emit, g, y),
-        stat_init=emission.zero_stats(params.emit),
-    )
+        r = time_sharded_fused_stats(
+            log_pi, log_A, obs, _long_chain_ell_fn(params, emission),
+            mesh, axis=axis, block_size=block_size,
+            stat_xs=obs, stat_fn=stat_fn,
+            stat_init=emission.zero_stats(params.emit),
+        )
+    else:
+        ll = emission.expected_log_likelihood(params.emit, obs)
+        from ..messages.time_sharded import time_sharded_long_chain_stats
+
+        r = time_sharded_long_chain_stats(
+            log_pi, log_A, ll, mesh, axis=axis, block_size=block_size,
+            stat_xs=obs, stat_fn=stat_fn,
+            stat_init=emission.zero_stats(params.emit),
+        )
     return LocalStats(
         init=r.init_stats, trans=r.trans_stats, emit=r.acc, log_z=r.log_z
     )
 
 
+@f32_matmuls
+def time_sharded_decode(
+    params: HMMParams,
+    emission,
+    obs: jax.Array,
+    mesh: Mesh,
+    axis: str = "time",
+    block_size: int = 1024,
+    chunks: int = 8,
+) -> jax.Array:
+    """Streaming argmax-gamma decode of one time-sharded chain: (T,) int32,
+    time-sharded — the distributed counterpart of
+    ``engines.base.long_chain_decode`` (the chromatin segmentation
+    deliverable at multi-chip scale)."""
+    from ..engines.base import _long_chain_ell_fn
+    from ..messages.time_sharded import time_sharded_fused_stats
+
+    log_pi, log_A = expected_log_params(params)
+    r = time_sharded_fused_stats(
+        log_pi, log_A, obs, _long_chain_ell_fn(params, emission),
+        mesh, axis=axis, block_size=block_size, chunks=chunks,
+        emit_argmax=True,
+    )
+    return r.z
+
+
 def make_ts_stream_vb_step(emission, mesh: Mesh, axis: str = "time",
-                           block_size: int = 256):
+                           block_size: int = 256, impl: str = "fused"):
     """Jitted coordinate-ascent VB step on one time-sharded chain through
     the STREAMING stats path (no gamma materialization) — exact full-chain
     VB at T beyond one chip's HBM."""
@@ -109,7 +149,7 @@ def make_ts_stream_vb_step(emission, mesh: Mesh, axis: str = "time",
     @f32_matmuls
     def step(params: HMMParams, prior: HMMParams, obs: jax.Array):
         stats = time_sharded_stream_stats(
-            params, emission, obs, mesh, axis, block_size
+            params, emission, obs, mesh, axis, block_size, impl=impl
         )
         elbo = elbo_from_stats(params, prior, emission, stats.log_z)
         new_params = HMMParams(
