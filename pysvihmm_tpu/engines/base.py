@@ -104,6 +104,7 @@ def long_chain_local_stats(
     chain: jax.Array,
     block_size: int = 256,
     impl: str | None = None,
+    time_minor: bool = False,
 ) -> LocalStats:
     """Exact full-chain local stats for ONE very long chain, streaming.
 
@@ -150,6 +151,10 @@ def long_chain_local_stats(
             block_size=block_size,
             stat_fn=stat_fn,
             stat_init=emission.zero_stats(params.emit),
+            # time_minor: chain arrives FEATURE-MAJOR (D, T) so full-T
+            # arrays stay lane-dense under TPU tiling (a time-major
+            # (T, 8) f32 chain pads 16x in HBM — stream_fused.py)
+            time_minor=time_minor,
         )
     else:
         fb_stream = {
@@ -195,6 +200,7 @@ def long_chain_decode(
     chain: jax.Array,
     block_size: int = 1024,
     chunks: int = 8,
+    time_minor: bool = False,
 ) -> jax.Array:
     """Posterior-marginal decode of ONE long chain, streaming: (T,) int32.
 
@@ -218,6 +224,7 @@ def long_chain_decode(
         block_size=block_size,
         chunks=chunks,
         emit_argmax=True,
+        time_minor=time_minor,
     )
     return r.z
 

@@ -64,7 +64,8 @@ def _lik_factory(ell_fn, dtype):
 
 
 def _block_products_fused(
-    A_tilde, obs_blocks, valid, n_blocks, S, lik_fn, chunk_blocks=None
+    A_tilde, obs_blocks, valid, n_blocks, S, lik_fn, chunk_blocks=None,
+    time_minor=False,
 ):
     """Per-block transfer products Q_b with in-chunk likelihoods.
 
@@ -74,13 +75,17 @@ def _block_products_fused(
     there), but the likelihood rows are computed from the observation
     chunk right here, so no (T, K) array feeds this phase. Per-row max
     shifts are dropped entirely: every consumer of Q renormalizes.
+
+    time_minor: obs_blocks arrives (D, n_blocks, S) (lane-dense layout —
+    see forward_backward_fused_twophase); chunks are transposed to rows
+    transiently.
     """
     K = A_tilde.shape[0]
     dtype = A_tilde.dtype
     eye = jnp.eye(K, dtype=dtype)
     prec = lax.Precision.DEFAULT
     tiny = jnp.finfo(dtype).tiny
-    tail = obs_blocks.shape[2:]
+    tail = (obs_blocks.shape[0],) if time_minor else obs_blocks.shape[2:]
 
     def mm(x, y):
         r = jnp.einsum("nij,njk->nik", x, y, precision=prec,
@@ -98,7 +103,9 @@ def _block_products_fused(
         CB -= 1
 
     def chunk_products(o_blk, val_blk):
-        # o_blk (CB, S, ...obs), val_blk (CB, S) -> (CB, K, K)
+        # o_blk (CB, S, ...obs) or (D, CB, S) time-minor -> (CB, K, K)
+        if time_minor:
+            o_blk = jnp.transpose(o_blk, (1, 2, 0))  # (CB, S, D) transient
         lik_blk, _ = lik_fn(o_blk.reshape((CB * S,) + tail))
         if S == 1:
             return jnp.where(
@@ -121,7 +128,14 @@ def _block_products_fused(
             m //= 2
         return Q
 
-    obs_c = obs_blocks.reshape((n_blocks // CB, CB, S) + tail)
+    if time_minor:
+        # (D, n_blocks, S) -> (n_chunks, D, CB, S): scan axis leads, time
+        # stays minor in the full-size array
+        obs_c = jnp.swapaxes(
+            obs_blocks.reshape(tail + (n_blocks // CB, CB * S)), 0, 1
+        ).reshape((n_blocks // CB,) + tail + (CB, S))
+    else:
+        obs_c = obs_blocks.reshape((n_blocks // CB, CB, S) + tail)
     val_c = valid.reshape(n_blocks // CB, CB, S)
     _, Q = lax.scan(lambda c, xs: (c, chunk_products(*xs)), 0, (obs_c, val_c))
     return Q.reshape(n_blocks, K, K)
@@ -140,6 +154,7 @@ def forward_backward_fused_twophase(
     stat_init=None,
     beta_end: jax.Array | None = None,
     emit_argmax: bool = False,
+    time_minor: bool = False,
 ) -> StreamStats:
     """Exact streaming E-step for ONE long chain, likelihoods fused.
 
@@ -166,9 +181,25 @@ def forward_backward_fused_twophase(
     emission-stats case, where sharing the operand also shares its HBM
     reads with the likelihood computation). Per-step kept-masks are not
     supported (exact full-chain E-steps only).
+
+    time_minor=True: ``obs`` arrives FEATURE-MAJOR as (D, T). TPU tiled
+    layouts pad a 2-D array's minor dimension to 128 lanes, so a
+    time-major (T, D=8) float chain occupies 16x its logical bytes in HBM
+    (f32[50M, 8] -> 25.6 GB — measured OOM); with time as the minor
+    dimension every full-T array in this function is lane-dense and the
+    Gaussian single-chip ceiling moves to T≈100M+. ell_fn/stat_fn still
+    receive standard (N, D) rows (chunks are transposed transiently,
+    O(T/chunks) at a time); stat_xs must be None in this mode.
     """
-    T = obs.shape[0]
-    tail = obs.shape[1:]
+    tm = time_minor and obs.ndim >= 2
+    if tm:
+        if stat_xs is not None:
+            raise ValueError("time_minor supports stat_xs=None (obs) only")
+        T = obs.shape[-1]
+        tail = (obs.shape[0],)
+    else:
+        T = obs.shape[0]
+        tail = obs.shape[1:]
     probe = jax.eval_shape(
         ell_fn, jax.ShapeDtypeStruct((1,) + tail, obs.dtype)
     )
@@ -181,15 +212,17 @@ def forward_backward_fused_twophase(
     if store_alphas is None:
         store_alphas = T * K * 4 <= 2 << 30
 
+    rows0 = obs[:, :1].T if tm else obs[:1]  # the t=0 observation row
+
     if T == 1:
-        lik0, sh0 = lik_fn(obs[:1])
+        lik0, sh0 = lik_fn(rows0)
         v0 = jnp.exp(log_pi).astype(dtype) * lik0[0]
         c0 = jnp.sum(v0)
         g = v0 if beta_end is None else v0 * beta_end
         gamma0 = g / jnp.sum(g)
         acc = None
         if have_stats:
-            acc = stat_fn(gamma0[None], stat_xs[:1])
+            acc = stat_fn(gamma0[None], rows0 if tm else stat_xs[:1])
             if stat_init is not None:
                 acc = jax.tree.map(
                     lambda a, z: a + z.astype(a.dtype), acc, stat_init
@@ -216,10 +249,18 @@ def forward_backward_fused_twophase(
     # observation rows for times bS + s + 1, zero-padded to a whole grid
     # (padded rows produce finite garbage likelihoods that every consumer
     # gates out via the valid mask, exactly as the non-fused tiers pad
-    # likelihoods with ones)
-    obs_tr = jnp.concatenate(
-        [obs[1:], jnp.zeros((pad,) + tail, obs.dtype)], axis=0
-    )
+    # likelihoods with ones). time_minor keeps time the MINOR axis of
+    # every full-T array (lane-dense under TPU tiling).
+    if tm:
+        obs_tr = jnp.concatenate(
+            [obs[:, 1:], jnp.zeros(tail + (pad,), obs.dtype)], axis=1
+        )
+        obs_blocks = obs_tr.reshape(tail + (n_blocks, S))
+    else:
+        obs_tr = jnp.concatenate(
+            [obs[1:], jnp.zeros((pad,) + tail, obs.dtype)], axis=0
+        )
+        obs_blocks = obs_tr.reshape((n_blocks, S) + tail)
     valid = jnp.concatenate(
         [jnp.ones((n_trans,), dtype), jnp.zeros((pad,), dtype)], axis=0
     )
@@ -230,15 +271,16 @@ def forward_backward_fused_twophase(
     # ---- phase 1: block products, likelihoods built in-chunk ----
     Q = _block_products_fused(
         A_tilde,
-        obs_tr.reshape((n_blocks, S) + tail),
+        obs_blocks,
         valid_b.reshape(n_blocks, S),
         n_blocks,
         S,
         lik_fn,
+        time_minor=tm,
     )
 
     # ---- phase 2: boundary recursions over blocks ----
-    lik0, sh0 = lik_fn(obs[:1])
+    lik0, sh0 = lik_fn(rows0)
     a0 = jnp.exp(log_pi).astype(dtype) * lik0[0]
     c0 = jnp.sum(a0)
     alpha0 = a0 / c0
@@ -260,12 +302,18 @@ def forward_backward_fused_twophase(
         b_seed = beta_end / jnp.sum(beta_end)
     _, seeds_b = lax.scan(bwd_bound, b_seed, Q, reverse=True)
 
-    # ---- phase 3 operands: (C, S2, n_blocks, ...) chunked time-major ----
+    # ---- phase 3 operands: (C, S2, n_blocks, ...) chunked time-major,
+    # or (C, S2, D, n_blocks) under time_minor (n_blocks stays minor) ----
     def chunked(x, x_tail):
         xs = jnp.swapaxes(x.reshape((n_blocks, S) + x_tail), 0, 1)
         return xs.reshape((C, S2, n_blocks) + x_tail)
 
-    obs_s = chunked(obs_tr, tail)
+    if tm:
+        obs_s = jnp.transpose(
+            obs_blocks.reshape(tail + (n_blocks, C, S2)), (2, 3, 0, 1)
+        )  # (C, S2, D, n_blocks)
+    else:
+        obs_s = chunked(obs_tr, tail)
     val_s = chunked(valid, ())
     if have_stats and (stat_xs is not obs):
         xs_tail = stat_xs.shape[1:]
@@ -294,10 +342,14 @@ def forward_backward_fused_twophase(
         a = keep * a_new + (1.0 - keep) * a
         return a, (a, jnp.sum(jnp.where(v_t > 0, jnp.log(c) + sh_t, 0.0)))
 
+    # time_minor chunks arrive (S2, D, nB): transpose to standard rows
+    # transiently (O(T/chunks) live at once)
+    chunk_rows = (lambda o: jnp.transpose(o, (0, 2, 1))) if tm else (lambda o: o)
+
     def fwd_chunk(a, xs):
         o_c, v_c = xs
         ck = a  # alpha checkpoint at this chunk's start (per block)
-        lik_c, sh_c = lik_fn(o_c)  # ONE batched matmul, off the chain
+        lik_c, sh_c = lik_fn(chunk_rows(o_c))  # ONE batched matmul, off the chain
         a, (al_c, logc_c) = lax.scan(fwd_step, a, (lik_c, sh_c, v_c))
         ys = (ck, jnp.sum(logc_c))
         return a, ys + (al_c,) if store_alphas else ys
@@ -312,10 +364,11 @@ def forward_backward_fused_twophase(
 
     # ---- phase 3 backward: gamma/stats/decode fused into the sweep ----
     if have_stats:
+        row_shape = (n_blocks,) + tail if tm else xtra_s.shape[2:]
         out_sds = jax.eval_shape(
             stat_fn,
             jax.ShapeDtypeStruct((n_blocks, K), dtype),
-            jax.ShapeDtypeStruct(xtra_s.shape[2:], stat_xs.dtype),
+            jax.ShapeDtypeStruct(row_shape, stat_xs.dtype),
         )
         acc0 = jax.tree.map(
             lambda z, o: jnp.asarray(z, o.dtype), stat_init, out_sds
@@ -362,7 +415,9 @@ def forward_backward_fused_twophase(
             ck, al_c, o_c, v_c, x_c = xs
         else:
             ck, o_c, v_c, x_c = xs
-        lik_c, _ = lik_fn(o_c)  # shifts cancel in every backward consumer
+        rows = chunk_rows(o_c)
+        x_c = rows if tm else x_c  # stats read the same transposed rows
+        lik_c, _ = lik_fn(rows)  # shifts cancel in every backward consumer
         if not store_alphas:
             # rematerialize this chunk's filtered messages from the
             # checkpoint — the extra vector sweep that buys the O(T/chunks)
@@ -389,7 +444,11 @@ def forward_backward_fused_twophase(
     g0 = alpha0 * beta_first[0]
     init_stats = g0 / jnp.sum(g0)
     if have_stats:
-        acc = jax.tree.map(jnp.add, acc, stat_fn(init_stats[None], stat_xs[:1]))
+        acc = jax.tree.map(
+            jnp.add,
+            acc,
+            stat_fn(init_stats[None], rows0 if tm else stat_xs[:1]),
+        )
     else:
         acc = None
 

@@ -108,11 +108,22 @@ def main(argv=None):
         prior = make_prior(K, MultinomialDirichlet, num_symbols=args.V)
     gen_wall = time.perf_counter() - t0
 
-    chain = jnp.asarray(obs_np)
+    # Gaussian chains go to the device FEATURE-MAJOR (D, T): TPU tiling
+    # pads a (T, 8) f32 array's minor dim to 128 lanes (16x HBM — a
+    # T=50M chain OOMs at 25.6 GB), while (8, T) is lane-dense. The SVI
+    # phase samples subchains, so it gets a bounded time-major head.
+    time_minor = args.family == "gaussian"
+    if time_minor:
+        chain = jnp.asarray(np.ascontiguousarray(obs_np.T))  # (D, T)
+        svi_head = min(T, 10_000_000)
+        chain_svi = jnp.asarray(obs_np[:svi_head])
+    else:
+        chain = jnp.asarray(obs_np)
+        chain_svi = chain
     del obs_np
     head = min(T, 100_000)
     p0 = init_params(jax.random.PRNGKey(args.seed + 2), prior, emission,
-                     chain[:head])
+                     chain_svi[:head])
 
     base = {"family": args.family, "T": T, "K": K,
             **({"D": D} if D else {"V": args.V}),
@@ -134,6 +145,7 @@ def main(argv=None):
             store_alphas=args.store_alphas or None,
             stat_fn=lambda g, y: emission_flat_stats(emission, p.emit, g, y),
             stat_init=emission.zero_stats(p.emit),
+            time_minor=time_minor,
         )
 
     from pysvihmm_tpu.utils.precision import f32_matmuls
@@ -151,15 +163,16 @@ def main(argv=None):
     assert np.isfinite(log_z)
 
     # ---- optional A/B vs the (T, K)-materializing two-phase tier
-    if args.compare_twophase:
+    if args.compare_twophase and (not time_minor or T <= chain_svi.shape[0]):
+        cmp_chain = chain_svi if time_minor else chain
         tp_fn = jax.jit(
             lambda p, c: long_chain_local_stats(
                 p, emission, c, block_size=256, impl="twophase"
             )
         )
-        float(tp_fn(p0, chain).log_z)
+        float(tp_fn(p0, cmp_chain).log_z)
         t0 = time.perf_counter()
-        log_z2 = float(tp_fn(p0, chain).log_z)
+        log_z2 = float(tp_fn(p0, cmp_chain).log_z)
         wall2 = time.perf_counter() - t0
         print(json.dumps({
             "phase": "exact_twophase", **base, "block_size": 256,
@@ -173,7 +186,7 @@ def main(argv=None):
                         tau=10.0, kappa=0.6)
     state = svi.init_state(p0, jax.random.PRNGKey(args.seed + 3))
     t0 = time.perf_counter()
-    state, metrics = svi.fit(state, prior, chain, emission, cfg,
+    state, metrics = svi.fit(state, prior, chain_svi, emission, cfg,
                              num_steps=args.svi_steps)
     ne = np.asarray(metrics["noisy_elbo"])
     svi_wall = time.perf_counter() - t0
@@ -191,7 +204,7 @@ def main(argv=None):
         dec_fn = jax.jit(
             lambda p, c: long_chain_decode(
                 p, emission, c, block_size=args.block_size,
-                chunks=args.chunks,
+                chunks=args.chunks, time_minor=time_minor,
             )
         )
         dec_fn(p0, chain).block_until_ready()  # compile at full shape

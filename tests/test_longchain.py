@@ -676,6 +676,42 @@ class TestBlockedStream:
         assert (np.array(a.z) == np.array(b.z)).all()
 
     @pytest.mark.parametrize("store", [True, False])
+    def test_time_minor_layout_parity(self, store, enable_x64):
+        """The feature-major (D, T) observation layout — required on TPU
+        where a time-major (T, 8) chain pads 16x in HBM — must reproduce
+        the time-major results exactly (stats, log_z, decode)."""
+        from pysvihmm_tpu.messages.stream_fused import (
+            forward_backward_fused_twophase,
+        )
+
+        T, K, D = 333, 5, 3
+        log_pi, log_A, _ = problem(T, K)
+        W = jnp.array(rng.normal(size=(D, K)))
+        obs = jnp.array(rng.normal(size=(T, D)))
+        ell_fn = lambda y: y @ W
+        sf = lambda g, y: (g.T @ y, jnp.sum(g, axis=0))
+        si = (jnp.zeros((K, D)), jnp.zeros((K,)))
+
+        def run(o, tmin):
+            return jax.jit(
+                lambda p, A, c: forward_backward_fused_twophase(
+                    p, A, c, ell_fn, block_size=32, chunks=4,
+                    store_alphas=store, stat_fn=sf, stat_init=si,
+                    emit_argmax=True, time_minor=tmin,
+                )
+            )(log_pi, log_A, o)
+
+        ref = run(obs, False)
+        got = run(obs.T, True)
+        np.testing.assert_allclose(float(got.log_z), float(ref.log_z), rtol=1e-12)
+        np.testing.assert_allclose(
+            np.array(got.trans_stats), np.array(ref.trans_stats), rtol=1e-10
+        )
+        for x, y in zip(jax.tree.leaves(got.acc), jax.tree.leaves(ref.acc)):
+            np.testing.assert_allclose(np.array(x), np.array(y), rtol=1e-10)
+        assert (np.array(got.z) == np.array(ref.z)).all()
+
+    @pytest.mark.parametrize("store", [True, False])
     def test_streaming_decode_matches_argmax_gamma(self, store, enable_x64):
         """long_chain_decode == argmax-gamma of the materializing E-step
         (the reference's decode rule) at small T, both remat modes."""
