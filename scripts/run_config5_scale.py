@@ -68,6 +68,12 @@ def main(argv=None):
         "(loader position is a pure function of the checkpointed step)",
     )
     ap.add_argument("--checkpoint-every", type=int, default=500)
+    ap.add_argument(
+        "--gen-only", action="store_true",
+        help="write the corpus and exit (run under JAX_PLATFORMS=cpu to "
+        "pre-generate while the chip is busy; fit later with "
+        "--reuse-corpus)",
+    )
     args = ap.parse_args(argv)
 
     import jax
@@ -157,6 +163,13 @@ def main(argv=None):
         out.flush()
     gen_wall = time.perf_counter() - t0
     size_gb = N * T * D * 4 / 1e9
+    if args.gen_only:
+        print(json.dumps({
+            "config": 5, "phase": "gen_only", "N": N, "T": T, "D": D,
+            "corpus_gb": round(size_gb, 2), "gen_wall_s": round(gen_wall, 1),
+            "corpus": args.corpus,
+        }), flush=True)
+        return
 
     # 2-3. stream + fit
     mesh = make_mesh()
