@@ -50,6 +50,12 @@ def main(argv=None):
                     help="store filtered messages instead of remat")
     ap.add_argument("--compare-twophase", action="store_true")
     ap.add_argument("--svi-steps", type=int, default=300)
+    ap.add_argument("--svi-batch", type=int, default=256)
+    ap.add_argument("--concentration", type=float, default=0.3,
+                    help="multinomial emission Dirichlet concentration "
+                    "(lower = sparser symbol distributions = more "
+                    "identifiable states; chromatin-like sparse marks "
+                    "~0.05)")
     ap.add_argument("--skip-decode", action="store_true")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args(argv)
@@ -94,7 +100,8 @@ def main(argv=None):
     else:
         D = None
         tp = make_multinomial_params(
-            jax.random.PRNGKey(args.seed), K, args.V, concentration=0.3
+            jax.random.PRNGKey(args.seed), K, args.V,
+            concentration=args.concentration,
         )
         z = sample_states_fast(np.asarray(tp.pi), np.asarray(tp.A), T, rng)
         phi_cum = np.cumsum(np.asarray(tp.theta, np.float64), axis=1)
@@ -182,7 +189,7 @@ def main(argv=None):
         }), flush=True)
 
     # ---- the paper's estimator: buffered-subchain SVI fit
-    cfg = svi.SVIConfig(batch_size=256, subchain_len=50, buffer=10,
+    cfg = svi.SVIConfig(batch_size=args.svi_batch, subchain_len=50, buffer=10,
                         tau=10.0, kappa=0.6)
     state = svi.init_state(p0, jax.random.PRNGKey(args.seed + 3))
     t0 = time.perf_counter()
@@ -200,6 +207,7 @@ def main(argv=None):
     # ---- full-chain streaming decode + full-chain matched Hamming
     if not args.skip_decode:
         from pysvihmm_tpu.engines.base import long_chain_decode
+        from pysvihmm_tpu.models.hmm import HMMParams
 
         dec_fn = jax.jit(
             lambda p, c: long_chain_decode(
@@ -212,12 +220,51 @@ def main(argv=None):
         z_hat = dec_fn(state.params, chain)
         z_hat.block_until_ready()
         dec_wall = time.perf_counter() - t0
-        ham = hamming_error_long(z_hat, jnp.asarray(z), K)
+        z_dev = jnp.asarray(z)
+        ham = hamming_error_long(z_hat, z_dev, K)
         print(json.dumps({
             "phase": "fused_decode", **base,
             "wall_s": round(dec_wall, 3),
             "steps_per_s": round(T / dec_wall, 1),
             "hamming_full_chain": round(ham, 6),
+        }), flush=True)
+
+        # decode at the BAYES FLOOR: pseudo-posterior params whose
+        # expected parameters equal the generator's truth (Dirichlet/NIW
+        # counts at concentration CONC >> 1), so the full-chain error is
+        # the model's intrinsic per-step ambiguity — separating decoder
+        # exactness from SVI fit quality.
+        CONC = 1e8
+        if args.family == "multinomial":
+            # +1 floors the counts of near-zero phi entries (sparse
+            # concentration draws have phi ~ 1e-15, whose raw CONC*phi
+            # counts land in digamma's divergent region and wreck
+            # E[log phi]); E[log] ~= log(phi + 1/CONC), Bayes-equivalent
+            emit_true = CONC * jnp.asarray(tp.theta) + 1.0
+        else:
+            from pysvihmm_tpu.distributions.niw import NIW
+
+            emit_true = NIW(
+                mean=jnp.asarray(tp.theta[0]),
+                kappa=jnp.full((K,), CONC),
+                nu=jnp.full((K,), CONC),
+                psi=CONC * jnp.asarray(tp.theta[1]),
+            )
+        p_true = HMMParams(
+            init=CONC * jnp.asarray(tp.pi),
+            trans=CONC * jnp.asarray(tp.A),
+            emit=emit_true,
+        )
+        t0 = time.perf_counter()
+        z_star = dec_fn(p_true, chain)
+        z_star.block_until_ready()
+        floor_wall = time.perf_counter() - t0
+        ham_floor = hamming_error_long(z_star, z_dev, K)
+        print(json.dumps({
+            "phase": "true_param_decode", **base,
+            "wall_s": round(floor_wall, 3),
+            "steps_per_s": round(T / floor_wall, 1),
+            "hamming_bayes_floor": round(ham_floor, 6),
         }), flush=True)
 
 
