@@ -58,6 +58,13 @@ def main(argv=None):
                     "~0.05)")
     ap.add_argument("--skip-decode", action="store_true")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--data-cache", type=str, default=None,
+                    help="path to an .npz holding (obs, z): written after "
+                    "generation if absent, loaded (skipping generation) if "
+                    "present — lets the slow host-side generation run under "
+                    "JAX_PLATFORMS=cpu while the chip is busy (--gen-only "
+                    "exits right after writing)")
+    ap.add_argument("--gen-only", action="store_true")
     args = ap.parse_args(argv)
 
     import jax
@@ -85,8 +92,31 @@ def main(argv=None):
 
     # ---- host-side generation (vectorized sampler, ~50x the naive loop)
     t0 = time.perf_counter()
+    cached = args.data_cache and os.path.exists(args.data_cache)
     rng = np.random.default_rng(args.seed + 1)
-    if args.family == "gaussian":
+    if cached:
+        data = np.load(args.data_cache, mmap_mode="r")
+        obs_np, z = data["obs"], np.asarray(data["z"])
+        assert obs_np.shape[0] == T, obs_np.shape
+        # true params re-derive from the same key (true_param_decode needs
+        # them; the cache holds only the sampled data)
+        if args.family == "gaussian":
+            D = args.obs_dim
+            tp = make_gaussian_params(
+                jax.random.PRNGKey(args.seed), K, D,
+                mean_scale=8.0, cov_scale=0.3,
+            )
+            emission = GaussianNIW
+            prior = make_prior(K, GaussianNIW, obs_dim=D)
+        else:
+            D = None
+            tp = make_multinomial_params(
+                jax.random.PRNGKey(args.seed), K, args.V,
+                concentration=args.concentration,
+            )
+            emission = MultinomialDirichlet
+            prior = make_prior(K, MultinomialDirichlet, num_symbols=args.V)
+    elif args.family == "gaussian":
         D = args.obs_dim
         tp = make_gaussian_params(
             jax.random.PRNGKey(args.seed), K, D, mean_scale=8.0, cov_scale=0.3
@@ -113,7 +143,14 @@ def main(argv=None):
         np.clip(obs_np, 0, args.V - 1, out=obs_np)
         emission = MultinomialDirichlet
         prior = make_prior(K, MultinomialDirichlet, num_symbols=args.V)
+    if args.data_cache and not cached:
+        np.savez(args.data_cache, obs=obs_np, z=z)
     gen_wall = time.perf_counter() - t0
+    if args.gen_only:
+        print(json.dumps({"phase": "gen_only", "T": T,
+                          "gen_wall_s": round(gen_wall, 1),
+                          "cache": args.data_cache}), flush=True)
+        return
 
     # Gaussian chains go to the device FEATURE-MAJOR (D, T): TPU tiling
     # pads a (T, 8) f32 array's minor dim to 128 lanes (16x HBM — a
