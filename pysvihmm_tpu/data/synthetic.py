@@ -95,6 +95,8 @@ def sample_states_fast(pi, A, T: int, rng, block: int = 4096):
     import numpy as np
 
     K = len(pi)
+    if K > 127:
+        raise ValueError(f"K={K} exceeds the int8 state-map limit (127)")
     pi = np.asarray(pi, np.float64)
     A_cum = np.cumsum(np.asarray(A, np.float64), axis=1)
     z0 = int(rng.choice(K, p=pi / pi.sum()))
@@ -104,10 +106,16 @@ def sample_states_fast(pi, A, T: int, rng, block: int = 4096):
     nB = -(-n // block)
     u = rng.random(nB * block)  # padded tail draws are discarded below
     # per-step maps M[s, b, k] = next state from k under block b's step-s
-    # draw; computed per ENTRY STATE as one searchsorted over all steps
+    # draw; computed per ENTRY STATE as one searchsorted over all steps.
+    # The clip guards the draws landing above a row's float-rounded
+    # cumsum (A_cum[k, -1] can sit just below 1): at T=100M+ a handful of
+    # such draws are EXPECTED, and an unclamped index K would crash the
+    # gathers below.
     M = np.empty((K, nB * block), np.int8)
     for k in range(K):
-        M[k] = np.searchsorted(A_cum[k], u, side="right").astype(np.int8)
+        M[k] = np.minimum(
+            np.searchsorted(A_cum[k], u, side="right"), K - 1
+        ).astype(np.int8)
     M = np.ascontiguousarray(
         M.reshape(K, nB, block).transpose(2, 1, 0)
     )  # (block, nB, K)

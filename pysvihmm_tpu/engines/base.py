@@ -137,6 +137,13 @@ def long_chain_local_stats(
 
     if impl is None:
         impl = os.environ.get("PYSVIHMM_STREAM_IMPL", "fused")
+    if time_minor and impl != "fused":
+        # the non-fused tiers consume a (T, K) likelihood computed from a
+        # TIME-MAJOR chain; silently feeding them (D, T) would produce a
+        # confusing downstream shape error (or, at T == D, wrong stats)
+        raise ValueError(
+            f"time_minor=True requires impl='fused' (got impl={impl!r})"
+        )
 
     stat_fn = lambda g, y: emission_flat_stats(emission, params.emit, g, y)
     log_pi, log_A = expected_log_params(params)

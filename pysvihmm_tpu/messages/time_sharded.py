@@ -303,20 +303,9 @@ def time_sharded_long_chain_stats(
 
         # --- boundary recursions on the gathered tile operators ---
         Qg = lax.all_gather(Q, axis)  # (D, K, K)
-        a = jnp.exp(log_pi_).astype(dtype)
-        a_last = []
-        for d in range(D):
-            a = a @ Qg[d]
-            a = a / jnp.sum(a)
-            a_last.append(a)
-        a_last = jnp.stack(a_last)  # filtered alpha at tile d's LAST step
-        b = jnp.ones((K,), dtype)
-        b_last = [b]
-        for d in range(D - 1, 0, -1):
-            b = Qg[d] @ b
-            b = b / jnp.sum(b)
-            b_last.append(b)
-        b_last = jnp.stack(b_last[::-1])  # beta at tile d's last step
+        a_last, b_last = _boundary_recursions(
+            Qg, jnp.exp(log_pi_).astype(dtype), dtype
+        )
 
         # --- seeded per-tile streaming two-phase sweep ---
         a_in = jnp.take(a_last, jnp.maximum(idx - 1, 0), axis=0)
@@ -382,6 +371,27 @@ def time_sharded_long_chain_stats(
     )
 
 
+def _boundary_recursions(Qg, a0, dtype):
+    """Phase-2 boundary messages from the gathered tile operators:
+    a_last[d] = normalized filtered alpha at tile d's LAST step, b_last[d]
+    = normalized beta there (ones seed at the right edge). Shared by the
+    sharded streaming tiers."""
+    D, K = Qg.shape[0], Qg.shape[1]
+    a = a0
+    a_last = []
+    for d in range(D):
+        a = a @ Qg[d]
+        a = a / jnp.sum(a)
+        a_last.append(a)
+    b = jnp.ones((K,), dtype)
+    b_last = [b]
+    for d in range(D - 1, 0, -1):
+        b = Qg[d] @ b
+        b = b / jnp.sum(b)
+        b_last.append(b)
+    return jnp.stack(a_last), jnp.stack(b_last[::-1])
+
+
 def time_sharded_fused_stats(
     log_pi: jax.Array,
     log_A: jax.Array,
@@ -396,6 +406,9 @@ def time_sharded_fused_stats(
     stat_fn=None,
     stat_init=None,
     emit_argmax: bool = False,
+    time_minor: bool = False,  # obs arrives FEATURE-MAJOR (D, T) — the
+    #   lane-dense layout Gaussian chains need on TPU (stream_fused.py);
+    #   the time axis (now last) is what gets sharded
 ):
     """Likelihood-FUSED sharded streaming E-step — the multi-chip T≈250M+
     route with the single-chip fused tier's memory profile per device.
@@ -423,8 +436,13 @@ def time_sharded_fused_stats(
     )
     from .blocked import _pad_count
 
-    T = obs.shape[0]
-    tail = obs.shape[1:]
+    tm = time_minor and obs.ndim >= 2
+    if tm:
+        T = obs.shape[-1]
+        tail = (obs.shape[0],)
+    else:
+        T = obs.shape[0]
+        tail = obs.shape[1:]
     D = mesh.shape[axis]
     if T % D != 0:
         raise ValueError(f"T={T} must be divisible by time-axis size {D}")
@@ -435,13 +453,23 @@ def time_sharded_fused_stats(
     K = probe.shape[-1]
     dtype = probe.dtype
     have_stats = stat_fn is not None
-    if stat_xs is None:
-        stat_xs = obs
-    xs_arg = stat_xs if have_stats else jnp.zeros((T, 0), dtype)
+    # ship the stats operand only when it genuinely differs from obs:
+    # otherwise the inner fused sweep aliases the observation chunks
+    # (stat_xs=None) and no second full-tile copy is staged
+    xs_is_obs = stat_xs is None or stat_xs is obs
+    if tm and not xs_is_obs:
+        raise ValueError("time_minor supports stat_xs=None (obs) only")
+    ship_xs = have_stats and not xs_is_obs
+    xs_arg = stat_xs if ship_xs else jnp.zeros((T, 0), dtype)
 
-    spec_obs = P(axis) if obs.ndim == 1 else P(axis, *(None,) * (obs.ndim - 1))
+    if tm:
+        spec_obs = P(*(None,) * (obs.ndim - 1), axis)
+    elif obs.ndim == 1:
+        spec_obs = P(axis)
+    else:
+        spec_obs = P(axis, *(None,) * (obs.ndim - 1))
     spec_xs = P(axis) if xs_arg.ndim == 1 else P(axis, *(None,) * (xs_arg.ndim - 1))
-    out_specs = (P(), P(), P(), P(), P(axis))
+    out_specs = (P(), P(), P(), P()) + ((P(axis),) if emit_argmax else ())
 
     @partial(
         shard_map,
@@ -454,7 +482,8 @@ def time_sharded_fused_stats(
         idx = lax.axis_index(axis)
         A_tilde = jnp.exp(log_A_).astype(dtype)
         lik_fn = _lik_factory(ell_fn, dtype)
-        lik0, _ = lik_fn(o[:1])  # this tile's first likelihood row
+        rows0 = o[:, :1].T if tm else o[:1]
+        lik0, _ = lik_fn(rows0)  # this tile's first likelihood row
 
         # --- per-device tile operator with in-chunk likelihoods ---
         S = 1 << (min(block_size, max(C - 1, 1)).bit_length() - 1)
@@ -462,13 +491,20 @@ def time_sharded_fused_stats(
         if n_tr > 0:
             pad = _pad_count(n_tr, S)
             nb = (n_tr + pad) // S
-            o_tr = jnp.concatenate(
-                [o[1:], jnp.zeros((pad,) + tail, o.dtype)], axis=0
-            ).reshape((nb, S) + tail)
+            if tm:
+                o_tr = jnp.concatenate(
+                    [o[:, 1:], jnp.zeros(tail + (pad,), o.dtype)], axis=1
+                ).reshape(tail + (nb, S))
+            else:
+                o_tr = jnp.concatenate(
+                    [o[1:], jnp.zeros((pad,) + tail, o.dtype)], axis=0
+                ).reshape((nb, S) + tail)
             val = jnp.concatenate(
                 [jnp.ones((n_tr,), bool), jnp.zeros((pad,), bool)], axis=0
             ).reshape(nb, S)
-            Qb = _block_products_fused(A_tilde, o_tr, val, nb, S, lik_fn)
+            Qb = _block_products_fused(
+                A_tilde, o_tr, val, nb, S, lik_fn, time_minor=tm
+            )
             Qr = Qb
             while Qr.shape[0] > 1:
                 if Qr.shape[0] % 2:
@@ -494,20 +530,9 @@ def time_sharded_fused_stats(
 
         # --- boundary recursions on the gathered tile operators ---
         Qg = lax.all_gather(Q, axis)  # (D, K, K)
-        a = jnp.exp(log_pi_).astype(dtype)
-        a_last = []
-        for d in range(D):
-            a = a @ Qg[d]
-            a = a / jnp.sum(a)
-            a_last.append(a)
-        a_last = jnp.stack(a_last)
-        b = jnp.ones((K,), dtype)
-        b_last = [b]
-        for d in range(D - 1, 0, -1):
-            b = Qg[d] @ b
-            b = b / jnp.sum(b)
-            b_last.append(b)
-        b_last = jnp.stack(b_last[::-1])
+        a_last, b_last = _boundary_recursions(
+            Qg, jnp.exp(log_pi_).astype(dtype), dtype
+        )
 
         # --- seeded per-tile FUSED streaming sweep ---
         a_in = jnp.take(a_last, jnp.maximum(idx - 1, 0), axis=0)
@@ -531,14 +556,17 @@ def time_sharded_fused_stats(
             block_size=block_size,
             chunks=chunks,
             store_alphas=store_alphas,
-            stat_xs=xs if have_stats else None,
+            stat_xs=xs if ship_xs else None,
             stat_fn=stat_fn,
             stat_init=stat_init_d,
             beta_end=jnp.take(b_last, idx, axis=0),
             emit_argmax=emit_argmax,
+            time_minor=tm,
         )
 
-        # boundary xi INTO this tile — same identity as the non-fused tier
+        # boundary xi INTO this tile (devices d > 0): xi from the
+        # replicated a_in, our first likelihood row, and gamma-grade beta
+        # at our first step — same identity as the non-fused tier
         al0 = jnp.exp(log_pi_loc) * lik0[0]
         al0 = al0 / jnp.max(al0)
         beta0 = r.init_stats / jnp.maximum(al0, 1e-30)
@@ -558,16 +586,17 @@ def time_sharded_fused_stats(
             if have_stats
             else jnp.zeros((0,), dtype)
         )
-        z = r.z if emit_argmax else jnp.zeros((C,), jnp.int32)
-        return log_z, init_stats, trans, acc, z
+        out = (log_z, init_stats, trans, acc)
+        return out + ((r.z,) if emit_argmax else ())
 
-    log_z, init_stats, trans, acc, z = run(log_pi, log_A, obs, xs_arg)
+    out = run(log_pi, log_A, obs, xs_arg)
+    log_z, init_stats, trans, acc = out[:4]
     return StreamStats(
         log_z=log_z,
         init_stats=init_stats,
         trans_stats=trans,
         acc=acc if have_stats else None,
-        z=z if emit_argmax else None,
+        z=out[4] if emit_argmax else None,
     )
 
 

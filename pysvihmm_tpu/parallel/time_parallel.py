@@ -35,9 +35,18 @@ def make_time_mesh(num_devices: int | None = None, devices=None, axis: str = "ti
     return make_mesh(num_devices, devices=devices, axis=axis)
 
 
-def shard_chain(obs: jax.Array, mesh: Mesh, axis: str = "time") -> jax.Array:
-    """Place one (T, ...) chain with the TIME axis sharded over the mesh."""
-    return jax.device_put(obs, NamedSharding(mesh, P(axis)))
+def shard_chain(
+    obs: jax.Array, mesh: Mesh, axis: str = "time", time_minor: bool = False
+) -> jax.Array:
+    """Place one chain with its TIME axis sharded over the mesh.
+
+    time_minor=True shards the LAST axis of a feature-major (D, T) chain
+    (the lane-dense Gaussian layout — messages/stream_fused.py)."""
+    if time_minor and obs.ndim >= 2:
+        spec = P(*(None,) * (obs.ndim - 1), axis)
+    else:
+        spec = P(axis)
+    return jax.device_put(obs, NamedSharding(mesh, spec))
 
 
 @f32_matmuls
@@ -73,6 +82,7 @@ def time_sharded_stream_stats(
     axis: str = "time",
     block_size: int = 256,
     impl: str = "fused",
+    time_minor: bool = False,
 ) -> LocalStats:
     """STREAMING exact local stats on one time-sharded chain.
 
@@ -82,8 +92,10 @@ def time_sharded_stream_stats(
     (messages/time_sharded.py). impl="fused" (default) also computes
     likelihoods per chunk from the raw observation tile
     (messages/stream_fused.py), so per-device HBM is O(T/D · obs-dims):
-    one v5e chip holds a 100M-step Gaussian tile, and a 4-chip slice the
-    reference paper's full T≈250M chromatin chain (SURVEY.md:284).
+    one v5e chip holds a 100M-step Gaussian tile (pass the chain
+    feature-major with time_minor=True — TPU tiling pads time-major
+    (T, 8) chains 16×), and a 4-chip slice the reference paper's full
+    T≈250M chromatin chain (SURVEY.md:284).
     impl="twophase" keeps the r4 tier (per-tile (T/D, K) likelihood
     materialized; single-chip tile bound T/D ~ 15M at K=64).
     """
@@ -96,10 +108,13 @@ def time_sharded_stream_stats(
         r = time_sharded_fused_stats(
             log_pi, log_A, obs, _long_chain_ell_fn(params, emission),
             mesh, axis=axis, block_size=block_size,
-            stat_xs=obs, stat_fn=stat_fn,
+            stat_fn=stat_fn,
             stat_init=emission.zero_stats(params.emit),
+            time_minor=time_minor,
         )
     else:
+        if time_minor:
+            raise ValueError("time_minor requires impl='fused'")
         ll = emission.expected_log_likelihood(params.emit, obs)
         from ..messages.time_sharded import time_sharded_long_chain_stats
 
@@ -122,6 +137,7 @@ def time_sharded_decode(
     axis: str = "time",
     block_size: int = 1024,
     chunks: int = 8,
+    time_minor: bool = False,
 ) -> jax.Array:
     """Streaming argmax-gamma decode of one time-sharded chain: (T,) int32,
     time-sharded — the distributed counterpart of
@@ -134,13 +150,14 @@ def time_sharded_decode(
     r = time_sharded_fused_stats(
         log_pi, log_A, obs, _long_chain_ell_fn(params, emission),
         mesh, axis=axis, block_size=block_size, chunks=chunks,
-        emit_argmax=True,
+        emit_argmax=True, time_minor=time_minor,
     )
     return r.z
 
 
 def make_ts_stream_vb_step(emission, mesh: Mesh, axis: str = "time",
-                           block_size: int = 256, impl: str = "fused"):
+                           block_size: int = 256, impl: str = "fused",
+                           time_minor: bool = False):
     """Jitted coordinate-ascent VB step on one time-sharded chain through
     the STREAMING stats path (no gamma materialization) — exact full-chain
     VB at T beyond one chip's HBM."""
@@ -149,7 +166,8 @@ def make_ts_stream_vb_step(emission, mesh: Mesh, axis: str = "time",
     @f32_matmuls
     def step(params: HMMParams, prior: HMMParams, obs: jax.Array):
         stats = time_sharded_stream_stats(
-            params, emission, obs, mesh, axis, block_size, impl=impl
+            params, emission, obs, mesh, axis, block_size, impl=impl,
+            time_minor=time_minor,
         )
         elbo = elbo_from_stats(params, prior, emission, stats.log_z)
         new_params = HMMParams(

@@ -92,6 +92,10 @@ def main(argv=None):
 
     # ---- host-side generation (vectorized sampler, ~50x the naive loop)
     t0 = time.perf_counter()
+    if args.data_cache and not args.data_cache.endswith(".npz"):
+        # np.savez appends ".npz" unconditionally; normalize up front so
+        # the cache-hit check and the write agree on one path
+        args.data_cache += ".npz"
     cached = args.data_cache and os.path.exists(args.data_cache)
     rng = np.random.default_rng(args.seed + 1)
     if cached:

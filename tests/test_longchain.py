@@ -433,6 +433,40 @@ class TestShardedStream:
         assert got.z.shape == (T,)
         assert (np.array(got.z) == z_ref).all()
 
+    def test_fused_time_minor_matches_time_major(self, enable_x64):
+        """The sharded fused tier with a feature-major (D, T) chain (the
+        lane-dense TPU layout) reproduces the time-major run exactly,
+        including the sharded decode."""
+        from pysvihmm_tpu.messages.time_sharded import time_sharded_fused_stats
+
+        n_dev, T, K, D = 4, 96, 5, 3
+        mesh = make_mesh(n_dev, axis="time")
+        log_pi, log_A, _ = problem(T, K)
+        W = jnp.array(rng.normal(size=(D, K)))
+        obs = jnp.array(rng.normal(size=(T, D)))
+        ell_fn = lambda y: y @ W
+        sf = lambda g, y: (g.T @ y, jnp.sum(g, axis=0))
+        si = (jnp.zeros((K, D)), jnp.zeros((K,)))
+
+        def run(o, tmin):
+            return jax.jit(
+                lambda p, A, c: time_sharded_fused_stats(
+                    p, A, c, ell_fn, mesh, block_size=8, chunks=2,
+                    stat_fn=sf, stat_init=si, emit_argmax=True,
+                    time_minor=tmin,
+                )
+            )(log_pi, log_A, o)
+
+        ref = run(obs, False)
+        got = run(obs.T, True)
+        np.testing.assert_allclose(float(got.log_z), float(ref.log_z), rtol=1e-12)
+        np.testing.assert_allclose(
+            np.array(got.trans_stats), np.array(ref.trans_stats), rtol=1e-10
+        )
+        for x, y in zip(jax.tree.leaves(got.acc), jax.tree.leaves(ref.acc)):
+            np.testing.assert_allclose(np.array(x), np.array(y), rtol=1e-10)
+        assert (np.array(got.z) == np.array(ref.z)).all()
+
     def test_fused_vb_step_and_decode_gaussian(self, enable_x64):
         """Full VB step + sharded decode through the fused sharded tier ==
         the single-device long-chain step / decode."""
