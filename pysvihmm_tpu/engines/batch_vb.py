@@ -128,21 +128,26 @@ def fit_restarts(
     return best_params, elbos, best
 
 
-def make_long_chain_step(emission, block_size: int = 256):
+def make_long_chain_step(emission, block_size: int = 256,
+                         impl: str | None = None, time_minor: bool = False):
     """Jitted coordinate-ascent VB step on ONE very long chain.
 
     The single-device counterpart of ``parallel.time_parallel.make_ts_vb_step``
     for the reference paper's T = millions single-chain regime: the E-step
-    streams through ``engines.base.long_chain_local_stats`` (blockwise
-    gamma reduction, O(T K) peak memory), so full exact VB runs on chains
-    100x longer than the materializing blocked path allows.
-    (params, prior, chain (T, D) | (T,)) -> (new_params, elbo).
+    streams through ``engines.base.long_chain_local_stats`` (default: the
+    likelihood-fused tier — T≈100M Gaussian / 250M multinomial on one
+    chip; ``time_minor=True`` takes the chain feature-major (D, T), the
+    lane-dense TPU layout large Gaussian chains need).
+    (params, prior, chain (T, D) | (T,) | (D, T)) -> (new_params, elbo).
     """
 
     @jax.jit
     @f32_matmuls
     def step(params: HMMParams, prior: HMMParams, chain: jax.Array):
-        stats = long_chain_local_stats(params, emission, chain, block_size)
+        stats = long_chain_local_stats(
+            params, emission, chain, block_size, impl=impl,
+            time_minor=time_minor,
+        )
         elbo = elbo_from_stats(params, prior, emission, stats.log_z)
         new_params = HMMParams(
             init=dirichlet.posterior(prior.init, stats.init),
