@@ -208,6 +208,54 @@ def psum_microbench(n_dev):
     return best
 
 
+def ts_stream_step_time(n_dev, t_len):
+    """Per-step time of the likelihood-FUSED sharded streaming E-step
+    (r5 tier: time_sharded_fused_stats via time_sharded_stream_stats) on
+    an n_dev time mesh at fixed global T — the strong-scaling composition
+    measurement for the multi-chip T≈250M route."""
+    import jax.numpy as jnp
+
+    from pysvihmm_tpu.data.synthetic import gen_gaussian_dataset
+    from pysvihmm_tpu.distributions import GaussianNIW
+    from pysvihmm_tpu.models.hmm import init_params, make_prior
+    from pysvihmm_tpu.parallel import (
+        make_time_mesh,
+        shard_chain,
+        time_sharded_stream_stats,
+    )
+
+    K_, D_ = 8, 4
+    obs, _, _ = gen_gaussian_dataset(
+        jax.random.PRNGKey(0), K_, D_, 1, t_len, mean_scale=6.0
+    )
+    chain = obs[0]
+    prior = make_prior(K_, GaussianNIW, obs_dim=D_)
+    params = init_params(jax.random.PRNGKey(1), prior, GaussianNIW,
+                         chain[:10_000])
+    mesh = make_time_mesh(n_dev, devices=jax.devices()[:n_dev])
+    sh = shard_chain(chain, mesh)
+
+    @jax.jit
+    def run(p, c, z):
+        def body(carry, _):
+            s = time_sharded_stream_stats(
+                p, GaussianNIW, c + (carry * 1e-30), mesh,
+                block_size=512, impl="fused",
+            )
+            return carry + s.log_z * 1e-30, s.log_z
+
+        _, zs = jax.lax.scan(body, z, None, length=ITERS)
+        return zs
+
+    np.asarray(jax.device_get(run(params, sh, jnp.float32(0.0))))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(jax.device_get(run(params, sh, jnp.float32(0.0))))
+        best = min(best, (time.perf_counter() - t0) / ITERS)
+    return best
+
+
 def main():
     n_max = len(jax.devices())
     phys = os.cpu_count() or 1
@@ -242,6 +290,36 @@ def main():
             "t_mesh_8x1_ms": round(t_dp * 1e3, 3),
             "t_mesh_4x2_ms": round(t_2d * 1e3, 3),
             "composition_ratio": round(t_2d / t_dp, 3),
+        }
+        print(json.dumps(rec), flush=True)
+        out.append(rec)
+
+    # fused sharded streaming tier (r5): strong scaling at fixed global T
+    # on physical meshes — the composition measurement for the multi-chip
+    # long-chain route
+    TS_T = 262_144
+    ts_times = {}
+    for n in (1, 2, 4):
+        if n > n_max or n > phys:
+            continue
+        ts_times[n] = ts_stream_step_time(n, TS_T)
+    if 1 in ts_times and len(ts_times) > 1:
+        rec = {
+            "bench": "ts_stream_fused_strong_scaling",
+            "T": TS_T, "K": 8, "D": 4,
+            "t_ms_by_ndev": {str(n): round(t * 1e3, 2)
+                             for n, t in ts_times.items()},
+            "efficiency_by_ndev": {
+                str(n): round(ts_times[1] / (n * ts_times[n]), 3)
+                for n in ts_times if n > 1
+            },
+            "note": "partial wall speedup is EXPECTED: the per-device "
+                    "phase-3 sequential depth is block_size-fixed (only "
+                    "the per-step row count shrinks with devices), and "
+                    "on virtual CPU devices the 1-dev baseline already "
+                    "uses all cores via XLA intra-op threading. The "
+                    "tier's primary scaling axis is MEMORY capacity — T "
+                    "beyond one chip's HBM — with the speedup as bonus.",
         }
         print(json.dumps(rec), flush=True)
         out.append(rec)
