@@ -1,5 +1,9 @@
 """Exact streaming E-step at the reference paper's flagship scale.
 
+SUPERSEDED for new measurements by scripts/run_fused_scale.py (round 5:
+the likelihood-fused tier reaches T=250M on one chip and adds streaming
+decode + Bayes-floor phases); kept as the r4 artifact's runner.
+
 Foti et al. 2014 §4 runs SVI-HMM on a T≈250M human-chromatin chain — a
 regime where materializing anything T x K^2 (or running 250M sequential
 steps) is impossible. Our answer is the streaming blocked path
